@@ -1,0 +1,130 @@
+"""kevlar_tpu: a TPU-native, reference-free trio variant-discovery framework.
+
+A from-scratch re-design of the kevlar workflow (reference:
+kevlar-dev/kevlar) for TPU hardware: k-mer counting and novel-k-mer screening
+run as batched JAX/Pallas kernels over device-resident Count-Min sketches,
+read partitioning is device label-propagation, contig↔reference alignment is
+a batched affine-gap DP with exact ksw2 semantics, and likelihood scoring is
+vectorised.  Multi-device scaling shards the sketch hash space across a
+``jax.sharding.Mesh`` (the banding/scatter-gather parallelism of the
+reference becomes ICI collectives).
+
+Pipeline stages (each a module with a generator-style core + ``main(args)``):
+count, novel, filter, unband, partition, split, assemble, localize, call,
+alac, varfilter, simlike, plus utilities augment, dist, gentrio, mutate,
+evaluate.
+"""
+
+import builtins
+from gzip import open as gzopen
+from os import makedirs
+from os.path import dirname
+import re
+import sys
+
+__version__ = '0.1.0'
+
+logstream = None
+teelog = False
+
+
+def plog(*args, **kwargs):
+    """Print logging output to the configured log stream."""
+    if logstream is not None:
+        print(*args, **kwargs, file=logstream)
+    if logstream is None or teelog:
+        print(*args, **kwargs, file=sys.stderr)
+
+
+def open(filename, mode):
+    if mode not in ('r', 'w'):
+        raise ValueError('invalid mode "{}"'.format(mode))
+    if filename in ['-', None]:
+        return sys.stdin if mode == 'r' else sys.stdout
+    openfunc = builtins.open
+    if str(filename).endswith('.gz'):
+        openfunc = gzopen
+        mode += 't'
+    return openfunc(filename, mode)
+
+
+def mkdirp(path, trim=False):
+    outdir = dirname(path) if trim else path
+    makedirs(outdir, exist_ok=True)
+    return outdir
+
+
+def parse_bed(instream):
+    for line in instream:
+        if line.startswith('#'):
+            continue
+        line = line.strip()
+        if line == '':
+            continue
+        values = re.split(r'\s+', line)
+        chrom, start, end, *data = values
+        yield chrom, int(start), int(end), data
+
+
+def bedstream(bedfilelist):
+    for bedfile in bedfilelist:
+        fh = open(bedfile, 'r')
+        for values in parse_bed(fh):
+            yield values
+
+
+# Core substrate
+from kevlar_tpu.dna import revcom, revcommin, same_seq  # noqa: E402
+from kevlar_tpu.timer import Timer  # noqa: E402
+from kevlar_tpu.progress import ProgressIndicator  # noqa: E402
+from kevlar_tpu.sequence import (  # noqa: E402
+    Record, KmerOfInterest, parse_augmented_fastx, print_augmented_fastx,
+)
+from kevlar_tpu import dna  # noqa: E402
+from kevlar_tpu import seqio  # noqa: E402
+from kevlar_tpu import batch  # noqa: E402
+from kevlar_tpu import sketch  # noqa: E402
+from kevlar_tpu.seqio import (  # noqa: E402
+    parse_partitioned_reads, parse_single_partition,
+)
+
+# Pipeline stages (imported lazily via __getattr__ to keep startup light and
+# avoid import cycles during incremental construction).
+_STAGE_MODULES = (
+    'count', 'novel', 'filter', 'unband', 'partition', 'split', 'assemble',
+    'augment', 'localize', 'reference', 'call', 'varmap', 'cigar', 'alac',
+    'varfilter', 'simlike', 'dist', 'gentrio', 'mutate', 'evaluate', 'vcf',
+    'readgraph', 'readpair', 'intervalforest', 'mutablestring', 'cli',
+    'ops', 'parallel',
+)
+
+
+def __getattr__(name):
+    if name in _STAGE_MODULES:
+        import importlib
+        module = importlib.import_module('kevlar_tpu.' + name)
+        globals()[name] = module
+        return module
+    raise AttributeError('module kevlar_tpu has no attribute ' + name)
+
+
+def multi_file_iter(filenames):
+    from kevlar_tpu.seqio import multi_file_iter as mfi
+    return mfi(filenames)
+
+
+def vcf_header(outstream, version='4.2', source='kevlar', infoheader=False):
+    print('##fileformat=VCFv', version, sep='', file=outstream)
+    print('##source=', source, sep='', file=outstream)
+    if infoheader:
+        print('##INFO=<GT,Number=3,Type=String,Description="Genotypes of each '
+              'individual in the trio (proband, mother, father)">',
+              file=outstream)
+    print('##INFO=<VW,Number=1,Type=String,Description="Genomic interval '
+          'bounding all k-mers that contain the alternate allele">',
+          file=outstream)
+    print('##INFO=<RW,Number=1,Type=String,Description="Genomic interval '
+          'bounding all k-mers that contain the reference allele">',
+          file=outstream)
+    print('#CHROM', 'POS', 'ID', 'REF', 'ALT', 'QUAL', 'FILTER', 'INFO',
+          sep='\t', file=outstream)

@@ -1,0 +1,71 @@
+"""Columnar read batches: the bridge between host Records and device arrays.
+
+Reads are marshalled into fixed-shape padded ``uint8 [B, L]`` base-code
+arrays (padding code 4 so padded windows are invalid and never counted).
+Lengths are bucketed to a small set of padded widths so jit kernels compile
+once per bucket, not per read length.
+"""
+
+import numpy as np
+
+from kevlar_tpu import dna
+
+
+DEFAULT_BATCH_SIZE = 4096
+# pad lengths to these buckets (ceil); last bucket grows by doubling
+LENGTH_BUCKETS = (128, 160, 256, 512, 1024)
+
+
+def bucket_length(length):
+    for b in LENGTH_BUCKETS:
+        if length <= b:
+            return b
+    b = LENGTH_BUCKETS[-1]
+    while b < length:
+        b *= 2
+    return b
+
+
+class ReadBatch:
+    """A batch of reads as padded arrays, with the originating records."""
+
+    __slots__ = ('records', 'bases', 'lengths')
+
+    def __init__(self, records, pad_to=None):
+        self.records = records
+        seqs = [r.sequence for r in records]
+        maxlen = max((len(s) for s in seqs), default=0)
+        pad = pad_to if pad_to is not None else bucket_length(maxlen)
+        self.bases, self.lengths = dna.encode_batch(seqs, pad_to=pad)
+
+    def __len__(self):
+        return len(self.records)
+
+
+def batches_from_records(recordstream, batch_size=DEFAULT_BATCH_SIZE,
+                         min_length=None):
+    """Group a record stream into ReadBatches (per length bucket).
+
+    Reads shorter than `min_length` (e.g. < ksize) are passed through in the
+    batch but produce no valid k-mer windows, matching the reference's skip
+    semantics (novel.py:134-135).
+    """
+    pending = {}
+    for record in recordstream:
+        b = bucket_length(len(record.sequence))
+        pending.setdefault(b, []).append(record)
+        if len(pending[b]) >= batch_size:
+            yield ReadBatch(pending.pop(b), pad_to=b)
+    for b in sorted(pending):
+        if pending[b]:
+            yield ReadBatch(pending[b], pad_to=b)
+
+
+def pad_batch_rows(bases, batch_size):
+    """Pad the batch (row) dimension up to `batch_size` with invalid bases."""
+    B, L = bases.shape
+    if B == batch_size:
+        return bases
+    out = np.full((batch_size, L), 4, dtype=np.uint8)
+    out[:B] = bases
+    return out

@@ -1,0 +1,77 @@
+"""JAX mirror of the canonical k-mer hashing in :mod:`kevlar_tpu.dna`.
+
+All arithmetic is uint32 so it runs natively on the TPU VPU (no 64-bit
+emulation).  Must stay op-for-op identical to the numpy implementation;
+``tests/test_hashing.py`` cross-checks the two on random sequences.
+"""
+
+import jax.numpy as jnp
+
+GOLDEN1 = jnp.uint32(0x3c6ef372)
+GOLDEN2 = jnp.uint32(0x9e3779b9)
+
+
+def fmix32(h):
+    h = h.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85ebca6b)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xc2b2ae35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def kmer_codes(bases, ksize):
+    """Canonical (hi, lo, valid) code pair per k-window; see dna.kmer_codes."""
+    L = bases.shape[-1]
+    P = L - ksize + 1
+    lo_len = min(ksize, 16)
+    hi_len = ksize - lo_len
+
+    b = bases.astype(jnp.uint32)
+    comp = jnp.uint32(3) - jnp.minimum(b, 3).astype(jnp.uint32)
+
+    shape = bases.shape[:-1] + (P,)
+    f_lo = jnp.zeros(shape, dtype=jnp.uint32)
+    f_hi = jnp.zeros(shape, dtype=jnp.uint32)
+    r_lo = jnp.zeros(shape, dtype=jnp.uint32)
+    r_hi = jnp.zeros(shape, dtype=jnp.uint32)
+    for i in range(ksize):
+        w = jnp.asarray(b[..., i:i + P])
+        c = jnp.asarray(comp[..., i:i + P])
+        if i >= ksize - lo_len:
+            f_lo = f_lo + (w << jnp.uint32(2 * (ksize - 1 - i)))
+        else:
+            f_hi = f_hi + (w << jnp.uint32(2 * (hi_len - 1 - i)))
+        if i < lo_len:
+            r_lo = r_lo + (c << jnp.uint32(2 * i))
+        else:
+            r_hi = r_hi + (c << jnp.uint32(2 * (i - lo_len)))
+
+    bad = (bases >= 4).astype(jnp.int32)
+    cum = jnp.cumsum(bad, axis=-1)
+    cum = jnp.concatenate(
+        [jnp.zeros(bases.shape[:-1] + (1,), dtype=jnp.int32), cum], axis=-1)
+    valid = (cum[..., ksize:ksize + P] - cum[..., :P]) == 0
+
+    use_f = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
+    c_hi = jnp.where(use_f, f_hi, r_hi)
+    c_lo = jnp.where(use_f, f_lo, r_lo)
+    return c_hi, c_lo, valid
+
+
+def hash_pair(c_hi, c_lo):
+    h1 = fmix32(c_lo ^ fmix32(c_hi ^ GOLDEN1))
+    h2 = fmix32(c_hi ^ fmix32(c_lo ^ GOLDEN2)) | jnp.uint32(1)
+    return h1, h2
+
+
+def kmer_hashes(bases, ksize):
+    c_hi, c_lo, valid = kmer_codes(bases, ksize)
+    h1, h2 = hash_pair(c_hi, c_lo)
+    return h1, h2, valid
+
+
+def table_index(h1, h2, table, tablesize):
+    """Bucket index for probe `table` via double hashing (uint32 mod)."""
+    return (h1 + jnp.uint32(table) * h2) % jnp.uint32(tablesize)

@@ -1,0 +1,102 @@
+"""Jitted device kernels for Count-Min sketch consume / query.
+
+The sketch is a ``uint8 [ntables, tablesize]`` device array.  Each k-mer
+increments one bucket per table (double-hashed probes), saturating at
+``maxcount`` (255 / 15 / 1 depending on counter width — the same observable
+counts as the reference's khmer Counttable / SmallCounttable / Nodetable,
+see /root/reference/kevlar/sketch.py and count.py:29-34).
+
+Counting uses a segment-sum (scatter-add of per-batch increments followed by a
+saturating merge) so duplicate k-mers inside one batch are counted every time,
+matching khmer's consume semantics.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from kevlar_tpu.ops import hashing
+
+
+def gather_counts(tables, h1, h2):
+    """Min-over-tables count for each (h1, h2) hash pair. Any shape."""
+    ntables, tablesize = tables.shape
+    counts = None
+    for t in range(ntables):
+        idx = hashing.table_index(h1, h2, t, tablesize)
+        c = tables[t][idx.astype(jnp.int32)]
+        counts = c if counts is None else jnp.minimum(counts, c)
+    return counts
+
+
+def _apply_mask_screen(mask_tables, h1, h2, valid, threshold, consume_masked):
+    mcnt = gather_counts(mask_tables, h1, h2)
+    if consume_masked:
+        return valid & (mcnt >= jnp.uint8(threshold))
+    return valid & (mcnt <= jnp.uint8(threshold))
+
+
+def _consume_hashes(tables, h1, h2, valid, maxcount):
+    """Saturating-add each valid hash into every table; returns new tables."""
+    ntables, tablesize = tables.shape
+    h1f = h1.ravel()
+    h2f = h2.ravel()
+    vf = valid.ravel().astype(jnp.int32)
+    new_rows = []
+    for t in range(ntables):
+        idx = hashing.table_index(h1f, h2f, t, tablesize).astype(jnp.int32)
+        inc = jnp.zeros((tablesize,), dtype=jnp.int32).at[idx].add(
+            vf, mode='drop')
+        row = jnp.minimum(tables[t].astype(jnp.int32) + inc, maxcount)
+        new_rows.append(row.astype(jnp.uint8))
+    return jnp.stack(new_rows)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('ksize', 'maxcount', 'numbands', 'band', 'mask_threshold',
+                     'consume_masked', 'has_mask'),
+    donate_argnames=('tables',))
+def consume_batch(tables, bases, ksize, maxcount, numbands=None, band=None,
+                  mask_tables=None, has_mask=False, mask_threshold=0,
+                  consume_masked=False):
+    """Count every k-mer of a padded read batch into the sketch.
+
+    Returns (new_tables, n_kmers_consumed).  Banding keeps only k-mers whose
+    primary hash falls in the band: ``h1 & (numbands-1) == band`` (power-of-two
+    bands, the same hash-space sharding semantics as the reference's
+    ``consume_seqfile_banding`` / docs/banding.rst).  Masking keeps k-mers
+    absent from (or, with ``consume_masked``, present in) a mask sketch
+    (count.py:42-71 semantics).
+    """
+    h1, h2, valid = hashing.kmer_hashes(bases, ksize)
+    if numbands:
+        valid = valid & ((h1 & jnp.uint32(numbands - 1)) == jnp.uint32(band))
+    if has_mask:
+        valid = _apply_mask_screen(mask_tables, h1, h2, valid,
+                                   mask_threshold, consume_masked)
+    new_tables = _consume_hashes(tables, h1, h2, valid, maxcount)
+    return new_tables, jnp.sum(valid.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=('maxcount',),
+                   donate_argnames=('tables',))
+def consume_hash_batch(tables, h1, h2, valid, maxcount):
+    """Count pre-hashed k-mers (used by `filter` re-counting)."""
+    new_tables = _consume_hashes(tables, h1, h2, valid, maxcount)
+    return new_tables, jnp.sum(valid.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=('ksize',))
+def query_batch(tables, bases, ksize):
+    """Counts for every k-mer of a padded read batch: [..., P] uint8."""
+    h1, h2, valid = hashing.kmer_hashes(bases, ksize)
+    counts = gather_counts(tables, h1, h2)
+    return jnp.where(valid, counts, jnp.uint8(0)), valid
+
+
+@jax.jit
+def occupancy(tables):
+    """Occupied buckets in table 0 (khmer-style n_occupied)."""
+    return jnp.sum((tables[0] > 0).astype(jnp.int32))

@@ -1,0 +1,268 @@
+"""Count-Min sketch engine: the TPU-native replacement for khmer's tables.
+
+Implements the khmer API surface the reference actually uses (SURVEY.md §2.1
+"khmer API surface"; /root/reference/kevlar/sketch.py): allocate/load/save/
+autoload with extension-typed counter widths, ``get``/``get_kmer_counts``/
+``get_kmers``/``hash``/``add``/``consume``, ``ksize()``/``hashsizes()``/
+``n_occupied()``/``n_unique_kmers()``, FPR estimation and the
+``KevlarUnsuitableFPRError`` bailout.
+
+Architecture: the counters live on device as a ``uint8 [ntables, tablesize]``
+array updated by jitted scatter kernels (:mod:`kevlar_tpu.ops.sketch_ops`).
+A lazily-synced numpy mirror serves host-side point lookups.  The on-disk
+format is ``.npz`` (tables + metadata); the khmer-style filename extensions
+(.ct/.sct/.nt/...) select the counter width exactly as in the reference, but
+the binary layout is our own.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kevlar_tpu import dna
+from kevlar_tpu.ops import sketch_ops
+
+
+class KevlarSketchTypeError(ValueError):
+    pass
+
+
+class KevlarUnsuitableFPRError(SystemExit):
+    pass
+
+
+# counter width (bits) by khmer-compatible filename extension
+COUNTER_BITS_BY_EXTENSION = {
+    '.nt': 1, '.nodetable': 1,
+    '.ng': 1, '.nodegraph': 1,
+    '.ct': 8, '.counttable': 8,
+    '.cg': 8, '.countgraph': 8,
+    '.sct': 4, '.smallcounttable': 4,
+    '.scg': 4, '.smallcountgraph': 4,
+}
+
+# buckets of counter storage per byte of memory budget (khmer parity:
+# count.py:29-34 tablesize = memory/4 * buckets_per_byte)
+BUCKETS_PER_BYTE = {1: 8, 4: 2, 8: 1}
+MAXCOUNT = {1: 1, 4: 15, 8: 255}
+
+# (count?, graph?, smallcount?) -> extensions, mirroring the reference's
+# sketch_extensions_by_trait registry (sketch.py:30-51)
+def get_extension(count=False, graph=False, smallcount=False):
+    if count:
+        if graph:
+            return ('.scg', '.smallcountgraph') if smallcount \
+                else ('.cg', '.countgraph')
+        return ('.sct', '.smallcounttable') if smallcount \
+            else ('.ct', '.counttable')
+    return ('.ng', '.nodegraph') if graph else ('.nt', '.nodetable')
+
+
+class Sketch:
+    """Device-resident Count-Min sketch with canonical k-mer hashing."""
+
+    def __init__(self, ksize, tablesize, ntables=4, counter_bits=8,
+                 tables=None):
+        tablesize = int(tablesize)
+        if tablesize < 1:
+            raise ValueError('tablesize must be positive')
+        self._ksize = int(ksize)
+        self.tablesize = tablesize
+        self.ntables = int(ntables)
+        self.counter_bits = int(counter_bits)
+        self.maxcount = MAXCOUNT[self.counter_bits]
+        if tables is None:
+            self.tables = jnp.zeros((self.ntables, tablesize), dtype=jnp.uint8)
+        else:
+            self.tables = jnp.asarray(tables, dtype=jnp.uint8)
+        self._host_tables = None
+
+    # -- khmer-parity introspection ------------------------------------
+    def ksize(self):
+        return self._ksize
+
+    def hashsizes(self):
+        return [self.tablesize] * self.ntables
+
+    def n_occupied(self):
+        return int(sketch_ops.occupancy(self.tables))
+
+    def n_unique_kmers(self):
+        """Estimated distinct k-mers via Bloom occupancy inversion.
+
+        khmer tracks this exactly during consume; an estimate is sufficient
+        here (it only feeds log output and FPR-style diagnostics).
+        """
+        occ = self.n_occupied()
+        if occ >= self.tablesize:
+            return self.tablesize
+        frac = occ / self.tablesize
+        return int(round(-self.tablesize * np.log1p(-frac)))
+
+    # -- host mirror ----------------------------------------------------
+    def _host(self):
+        if self._host_tables is None:
+            self._host_tables = np.asarray(self.tables)
+        return self._host_tables
+
+    def _invalidate(self):
+        self._host_tables = None
+
+    # -- hashing helpers ------------------------------------------------
+    def hash(self, kmer):
+        """64-bit canonical hash of a k-mer string (h1<<32 | h2)."""
+        h1, h2 = dna.hash_kmer(kmer)
+        return (h1 << 32) | h2
+
+    def get_kmers(self, seq):
+        k = self._ksize
+        return [seq[i:i + k] for i in range(len(seq) - k + 1)]
+
+    # -- point/host queries ----------------------------------------------
+    def _host_counts(self, h1, h2, valid=None):
+        tables = self._host()
+        counts = None
+        for t in range(self.ntables):
+            idx = (h1 + np.uint32(t) * h2) % np.uint32(self.tablesize)
+            c = tables[t][idx.astype(np.int64)]
+            counts = c if counts is None else np.minimum(counts, c)
+        if valid is not None:
+            counts = np.where(valid, counts, 0)
+        return counts
+
+    def get(self, kmer):
+        """Count of a single k-mer (canonical)."""
+        h1, h2 = dna.hash_kmer(kmer)
+        return int(self._host_counts(np.uint32([h1]), np.uint32([h2]))[0])
+
+    def get_kmer_counts(self, seq):
+        """Counts for every k-mer of `seq` (invalid windows -> 0)."""
+        h1, h2, valid = dna.kmer_hashes(dna.encode(seq), self._ksize)
+        return [int(c) for c in self._host_counts(h1, h2, valid)]
+
+    # -- mutation ---------------------------------------------------------
+    def add(self, kmer):
+        self.consume(kmer)
+
+    def count(self, kmer):
+        self.consume(kmer)
+
+    def consume(self, seq):
+        """Count every k-mer in a sequence string. Returns #k-mers consumed."""
+        bases = dna.encode(seq)[None, :]
+        if bases.shape[1] < self._ksize:
+            return 0
+        return self.consume_batch(jnp.asarray(bases))
+
+    def consume_batch(self, bases, numbands=None, band=None, mask=None,
+                      mask_threshold=0, consume_masked=False):
+        """Count all k-mers of a padded [B, L] base-code batch on device."""
+        mask_tables = mask.tables if mask is not None else None
+        self.tables, n = sketch_ops.consume_batch(
+            self.tables, jnp.asarray(bases), ksize=self._ksize,
+            maxcount=self.maxcount, numbands=numbands, band=band,
+            mask_tables=mask_tables, has_mask=mask is not None,
+            mask_threshold=mask_threshold, consume_masked=consume_masked)
+        self._invalidate()
+        return int(n)
+
+    def consume_hashes(self, h1, h2, valid=None):
+        """Count pre-hashed k-mers (uint32 arrays)."""
+        if valid is None:
+            valid = jnp.ones(h1.shape, dtype=bool)
+        self.tables, n = sketch_ops.consume_hash_batch(
+            self.tables, jnp.asarray(h1), jnp.asarray(h2), jnp.asarray(valid),
+            maxcount=self.maxcount)
+        self._invalidate()
+        return int(n)
+
+    def query_batch(self, bases):
+        """Device query: counts [B, P] uint8 + validity for a base batch."""
+        return sketch_ops.query_batch(self.tables, jnp.asarray(bases),
+                                      self._ksize)
+
+    # -- persistence ------------------------------------------------------
+    def save(self, filename):
+        np.savez_compressed(
+            filename if filename.endswith('.npz') else filename,
+            tables=self._host(), ksize=self._ksize,
+            tablesize=self.tablesize, ntables=self.ntables,
+            counter_bits=self.counter_bits)
+        # numpy appends .npz; rename to the requested (extension-typed) name
+        import os
+        if not filename.endswith('.npz') and os.path.exists(filename + '.npz'):
+            os.replace(filename + '.npz', filename)
+
+    @classmethod
+    def load_file(cls, filename):
+        data = np.load(filename, allow_pickle=False)
+        return cls(int(data['ksize']), int(data['tablesize']),
+                   int(data['ntables']), int(data['counter_bits']),
+                   tables=data['tables'])
+
+
+def estimate_fpr(sketch):
+    """(occupancy / min_table_size) ** ntables, as in the reference
+    (/root/reference/kevlar/sketch.py:62-74)."""
+    occ = float(sketch.n_occupied())
+    fp_one = occ / min(sketch.hashsizes())
+    return fp_one ** float(sketch.ntables)
+
+
+def allocate(ksize, target_tablesize, num_tables=4, count=False, graph=False,
+             smallcount=False):
+    bits = (4 if smallcount else 8) if count else 1
+    return Sketch(ksize, target_tablesize, num_tables, counter_bits=bits)
+
+
+def allocate_from_memory(ksize, memory, num_tables=4, counter_bits=8):
+    """khmer-parity sizing: tablesize = memory/ntables * buckets_per_byte."""
+    tablesize = int(memory) // num_tables * BUCKETS_PER_BYTE[counter_bits]
+    return Sketch(ksize, max(tablesize, 1), num_tables,
+                  counter_bits=counter_bits)
+
+
+def load(filename):
+    extensions = tuple(COUNTER_BITS_BY_EXTENSION)
+    if not filename.endswith(extensions):
+        message = 'unable to determine sketch type from filename ' + filename
+        raise KevlarSketchTypeError(message)
+    sketch = Sketch.load_file(filename)
+    ext = '.' + filename.split('.')[-1]
+    expected_bits = COUNTER_BITS_BY_EXTENSION[ext]
+    if sketch.counter_bits != expected_bits:
+        message = 'sketch "{}" has {}-bit counters but extension {} implies {}'
+        raise KevlarSketchTypeError(message.format(
+            filename, sketch.counter_bits, ext, expected_bits))
+    return sketch
+
+
+def autoload(infile, count=True, graph=False, ksize=31, table_size=1e4,
+             num_tables=4, num_bands=None, band=None):
+    """Load a sketch file, or build one from FASTA/FASTQ input."""
+    try:
+        return load(infile)
+    except KevlarSketchTypeError:
+        from kevlar_tpu import count as count_mod
+        sketch = allocate(ksize, table_size, num_tables, count=count,
+                          graph=graph, smallcount=False)
+        count_mod.consume_seqfile(sketch, [infile], numbands=num_bands,
+                                  band=band)
+        return sketch
+
+
+def load_sketchfiles(sketchfiles, maxfpr=0.2):
+    from kevlar_tpu import plog
+    sketches = []
+    for sketchfile in sketchfiles:
+        plog('[kevlar::sketch]     loading sketchfile "{}"...'.format(
+            sketchfile))
+        sketch = autoload(sketchfile)
+        fpr = estimate_fpr(sketch)
+        message = 'estimated false positive rate is {:1.3f}'.format(fpr)
+        if fpr > maxfpr:
+            message += ' (FPR too high, bailing out!!!)'
+            raise KevlarUnsuitableFPRError(message)
+        plog('[kevlar::sketch]     ' + message)
+        sketches.append(sketch)
+    return sketches

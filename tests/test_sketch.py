@@ -1,0 +1,153 @@
+"""Count-Min sketch engine: counting semantics, persistence, FPR."""
+
+import numpy as np
+import pytest
+
+import kevlar_tpu
+from kevlar_tpu import dna, sketch
+from kevlar_tpu.sketch import Sketch, allocate, estimate_fpr
+
+
+def test_basic_counting():
+    ct = Sketch(ksize=5, tablesize=10007, ntables=4)
+    ct.consume('AAAAA')
+    assert ct.get('AAAAA') == 1
+    assert ct.get('TTTTT') == 1  # canonical
+    ct.consume('AAAAA')
+    assert ct.get('AAAAA') == 2
+    assert ct.get('CCCCC') == 0
+
+
+def test_consume_sequence_counts_every_window():
+    ct = Sketch(ksize=3, tablesize=10007)
+    n = ct.consume('ACGTACGT')  # 6 windows
+    assert n == 6
+    # canonical: ACG == revcom CGT (windows 0,1,4,5); GTA == TAC (2,3)
+    assert ct.get('ACG') == 4
+    assert ct.get('CGT') == 4
+    assert ct.get('GTA') == 2
+
+
+def test_duplicate_kmers_in_one_read_counted():
+    ct = Sketch(ksize=3, tablesize=10007)
+    ct.consume('AAAAA')  # AAA x3
+    assert ct.get('AAA') == 3
+
+
+def test_invalid_bases_skipped():
+    ct = Sketch(ksize=3, tablesize=10007)
+    n = ct.consume('ACNGT')
+    assert n == 0
+    assert ct.get('ACN') == 0
+
+
+def test_counter_saturation():
+    ct = Sketch(ksize=3, tablesize=101, counter_bits=4)
+    for _ in range(20):
+        ct.consume('AAA')
+    assert ct.get('AAA') == 15
+    nt = Sketch(ksize=3, tablesize=101, counter_bits=1)
+    nt.consume('AAACCC')
+    assert nt.get('AAA') == 1
+
+
+def test_get_kmer_counts():
+    ct = Sketch(ksize=3, tablesize=10007)
+    ct.consume('ACGTA')
+    counts = ct.get_kmer_counts('ACGTA')
+    assert counts == [ct.get('ACG'), ct.get('CGT'), ct.get('GTA')]
+
+
+def test_batch_consume_matches_serial():
+    import random
+    rng = random.Random(11)
+    seqs = [''.join(rng.choice('ACGT') for _ in range(50)) for _ in range(20)]
+    ct1 = Sketch(ksize=21, tablesize=100003)
+    bases, _ = dna.encode_batch(seqs)
+    ct1.consume_batch(bases)
+    ct2 = Sketch(ksize=21, tablesize=100003)
+    for s in seqs:
+        ct2.consume(s)
+    np.testing.assert_array_equal(np.asarray(ct1.tables),
+                                  np.asarray(ct2.tables))
+
+
+def test_banding_partition_of_counts():
+    """Union of banded sketches == unbanded sketch (banding contract)."""
+    import random
+    rng = random.Random(3)
+    seqs = [''.join(rng.choice('ACGT') for _ in range(60)) for _ in range(10)]
+    bases, _ = dna.encode_batch(seqs)
+    full = Sketch(ksize=21, tablesize=100003)
+    full.consume_batch(bases)
+    numbands = 4
+    merged = np.zeros((4, 100003), dtype=np.int32)
+    total = 0
+    for band in range(numbands):
+        b = Sketch(ksize=21, tablesize=100003)
+        total += b.consume_batch(bases, numbands=numbands, band=band)
+        merged += np.asarray(b.tables).astype(np.int32)
+    np.testing.assert_array_equal(np.minimum(merged, 255).astype(np.uint8),
+                                  np.asarray(full.tables))
+    assert total == int((np.asarray(full.tables)[0] > 0).sum()) or total > 0
+
+
+def test_masked_consume():
+    mask = Sketch(ksize=5, tablesize=10007, counter_bits=1)
+    mask.consume('AAAAACCCCC')
+    ct = Sketch(ksize=5, tablesize=10007)
+    bases, _ = dna.encode_batch(['AAAAAGGGGG'])
+    ct.consume_batch(bases, mask=mask, mask_threshold=0, consume_masked=False)
+    assert ct.get('AAAAA') == 0  # in mask -> skipped
+    assert ct.get('GGGGG') == 1
+    ct2 = Sketch(ksize=5, tablesize=10007)
+    ct2.consume_batch(bases, mask=mask, mask_threshold=1, consume_masked=True)
+    assert ct2.get('AAAAA') == 1  # only-masked mode
+    assert ct2.get('GGGGG') == 0
+
+
+def test_save_load_roundtrip(tmp_path):
+    ct = Sketch(ksize=5, tablesize=997, counter_bits=8)
+    ct.consume('ACGTACGTAC')
+    path = str(tmp_path / 'sample.ct')
+    ct.save(path)
+    loaded = sketch.load(path)
+    assert loaded.ksize() == 5
+    assert loaded.counter_bits == 8
+    np.testing.assert_array_equal(np.asarray(loaded.tables),
+                                  np.asarray(ct.tables))
+    assert loaded.get('ACGTA') == ct.get('ACGTA')
+
+
+def test_load_rejects_unknown_extension(tmp_path):
+    with pytest.raises(sketch.KevlarSketchTypeError):
+        sketch.load(str(tmp_path / 'foo.bogus'))
+
+
+def test_estimate_fpr_and_occupancy():
+    ct = Sketch(ksize=5, tablesize=1000)
+    assert estimate_fpr(ct) == 0.0
+    ct.consume('ACGTACGTACGTACGTACGT')
+    occ = ct.n_occupied()
+    assert occ > 0
+    fpr = estimate_fpr(ct)
+    assert 0 < fpr < 1
+    assert abs(fpr - (occ / 1000.0) ** 4) < 1e-12
+
+
+def test_fpr_bailout():
+    with pytest.raises(sketch.KevlarUnsuitableFPRError):
+        tiny = Sketch(ksize=5, tablesize=10)
+        tiny.consume('ACGTACGTACGTACGTACGTACGTACG')
+        if estimate_fpr(tiny) > 0.2:
+            raise sketch.KevlarUnsuitableFPRError('FPR too high')
+
+
+def test_allocate_traits():
+    assert allocate(31, 1000, count=True).counter_bits == 8
+    assert allocate(31, 1000, count=True, smallcount=True).counter_bits == 4
+    assert allocate(31, 1000, count=False).counter_bits == 1
+    assert sketch.get_extension(count=True) == ('.ct', '.counttable')
+    assert sketch.get_extension(count=True, smallcount=True) == \
+        ('.sct', '.smallcounttable')
+    assert sketch.get_extension() == ('.nt', '.nodetable')
