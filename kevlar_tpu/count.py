@@ -1,0 +1,112 @@
+"""``count`` stage: stream reads into a device Count-Min sketch.
+
+Parity with /root/reference/kevlar/count.py: per-sample k-mer counting with
+optional mask (skip masked k-mers, or count *only* masked k-mers), optional
+hash-space banding, khmer-style memory->tablesize sizing, FPR bailout, and
+extension-typed sketch persistence.
+
+TPU design: reads are marshalled into padded [B, L] base batches
+(:mod:`kevlar_tpu.batch`) and counted by one jitted scatter kernel per batch
+— the thread-parallel ReadParser loop of the reference becomes a single
+device program over batched reads.
+"""
+
+import kevlar_tpu
+from kevlar_tpu import seqio
+from kevlar_tpu.batch import batches_from_records, DEFAULT_BATCH_SIZE
+from kevlar_tpu.sketch import (
+    allocate_from_memory, estimate_fpr, get_extension, KevlarUnsuitableFPRError,
+)
+
+
+def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
+                    maskmaxabund=0, numbands=None, band=None,
+                    batch_size=DEFAULT_BATCH_SIZE):
+    """Count all k-mers in the given FASTA/FASTQ files into `sketch`."""
+    numreads = 0
+    threshold = 1 if consume_masked else maskmaxabund
+    stream = seqio.multi_file_iter(seqfiles)
+    for batch in batches_from_records(stream, batch_size=batch_size):
+        sketch.consume_batch(
+            batch.bases, numbands=numbands, band=band, mask=mask,
+            mask_threshold=threshold, consume_masked=consume_masked)
+        numreads += len(batch)
+    return numreads
+
+
+def load_sample_seqfile(seqfiles, ksize, memory, maxfpr=0.2, count=True,
+                        smallcount=False, mask=None, maskmaxabund=0,
+                        consume_masked=False, numbands=None, band=None,
+                        outfile=None, numthreads=1,
+                        batch_size=DEFAULT_BATCH_SIZE):
+    """Compute k-mer abundances for one sample; returns the sketch."""
+    counter_bits = (4 if smallcount else 8) if count else 1
+    sketch = allocate_from_memory(ksize, memory, num_tables=4,
+                                  counter_bits=counter_bits)
+    numreads = 0
+    for seqfile in seqfiles:
+        kevlar_tpu.plog('[kevlar::count] - processing "{}"'.format(seqfile))
+        numreads += consume_seqfile(
+            sketch, [seqfile], mask=mask, consume_masked=consume_masked,
+            maskmaxabund=maskmaxabund, numbands=numbands, band=band,
+            batch_size=batch_size)
+
+    message = 'Done loading k-mers'
+    if numbands:
+        message += ' (band {:d}/{:d})'.format(band + 1, numbands)
+    fpr = estimate_fpr(sketch)
+    message += ';\n    {:d} reads processed'.format(numreads)
+    message += ', ~{:d} distinct k-mers stored'.format(
+        sketch.n_unique_kmers())
+    message += ';\n    estimated false positive rate is {:1.3f}'.format(fpr)
+    if fpr > maxfpr:
+        message += ' (FPR too high, bailing out!!!)'
+        raise KevlarUnsuitableFPRError('[kevlar::count] ' + message)
+
+    if outfile:
+        extensions = get_extension(count=count, smallcount=smallcount)
+        if not outfile.endswith(extensions):
+            outfile += extensions[1]
+        sketch.save(outfile)
+        message += ';\n    saved to "{:s}"'.format(outfile)
+    kevlar_tpu.plog('[kevlar::count]', message)
+    return sketch
+
+
+def print_config(args):
+    tabletypes = {1: 'node', 4: 'small count', 8: 'count'}
+    maxcounts = {1: 1, 4: 15, 8: 255}
+    message = 'Storing k-mers in a {} table'.format(
+        tabletypes[args.counter_size])
+    if args.counter_size == 1:
+        message += ' (Bloom filter) for k-mer presence/absence queries'
+    else:
+        message += ', a CountMin sketch with a counter size of {} bits'.format(
+            args.counter_size)
+        message += ', for k-mer abundance queries (max abundance {})'.format(
+            maxcounts[args.counter_size])
+    kevlar_tpu.plog('[kevlar::count]', message)
+
+
+def main(args):
+    if (args.num_bands is None) is not (args.band is None):
+        raise ValueError('Must specify --num-bands and --band together')
+    myband = args.band - 1 if args.band else None
+    mask = None
+    if args.mask:
+        from kevlar_tpu import sketch as sketch_mod
+        mask = sketch_mod.load(args.mask)
+    print_config(args)
+
+    timer = kevlar_tpu.Timer()
+    timer.start()
+    docount = args.counter_size > 1
+    dosmallcount = args.counter_size == 4
+    load_sample_seqfile(
+        args.seqfile, args.ksize, args.memory, args.max_fpr, count=docount,
+        smallcount=dosmallcount, mask=mask,
+        consume_masked=args.count_masked, numbands=args.num_bands, band=myband,
+        numthreads=args.threads, outfile=args.counttable)
+    total = timer.stop()
+    kevlar_tpu.plog(
+        '[kevlar::count] Total time: {:.2f} seconds'.format(total))

@@ -1,0 +1,174 @@
+"""``novel`` stage: find reads containing novel (case-only) k-mers.
+
+Parity with /root/reference/kevlar/novel.py: a k-mer is interesting iff its
+abundance is >= `casemin` in every case sample and <= `ctrlmax` in every
+control sample; reads with any k-mer below the abundance screen are discarded
+entirely; reads shorter than k or containing non-ACGT bases are skipped;
+emitted records carry (kmer, offset, abundance-tuple) annotations.
+
+Banding note: the user-facing `--band` is 1-based.  Internally band b of N
+keeps k-mers with ``hash & (N-1) == b`` consistently across count and novel
+(the reference novel loop has an extra off-by-one, novel.py:144-147, which is
+internally inconsistent with its own count stage; we use the consistent
+semantics — SURVEY.md §7 hard-part (e)).
+"""
+
+import numpy as np
+
+import kevlar_tpu
+from kevlar_tpu import batch as batch_mod
+from kevlar_tpu import sequence
+from kevlar_tpu.ops import novel_ops
+
+
+class KevlarCaseSampleMismatchError(ValueError):
+    pass
+
+
+def load_samples(counttables=None, filelists=None, ksize=31, memory=1e6,
+                 maxfpr=0.2, numbands=None, band=None, numthreads=1,
+                 outfilelist=None):
+    from kevlar_tpu import count as count_mod
+    from kevlar_tpu import sketch as sketch_mod
+    assert counttables or filelists
+    if counttables:
+        message = 'counttables for {:d} sample(s) provided'.format(
+            len(counttables))
+        message += ', any corresponding FASTA/FASTQ input will be ignored'
+        kevlar_tpu.plog('[kevlar::novel]    INFO:', message)
+        return sketch_mod.load_sketchfiles(counttables, maxfpr)
+    samples = []
+    for filelist in filelists:
+        sample = count_mod.load_sample_seqfile(
+            filelist, ksize, memory, maxfpr=maxfpr, numbands=numbands,
+            band=band, numthreads=numthreads)
+        samples.append(sample)
+    if outfilelist:
+        save_counts(outfilelist, samples)
+    return samples
+
+
+def save_counts(filelist, tablelist):
+    if len(filelist) != len(tablelist):
+        msg = ('number of filenames provided ({:d}) does not match the number '
+               'of samples provided ({:d}); stubbornly refusing to save '
+               'k-mer counts'.format(len(filelist), len(tablelist)))
+        kevlar_tpu.plog('[kevlar::novel] WARNING:', msg)
+        return
+    for outfile, counttable in zip(filelist, tablelist):
+        if not outfile.endswith(('.ct', '.counttable')):
+            outfile += '.counttable'
+        kevlar_tpu.plog('    saved to "{}"'.format(outfile))
+        counttable.save(outfile)
+
+
+def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
+          casemin=5, ctrlmax=0, numbands=None, band=None, skipuntil=None,
+          batch_size=batch_mod.DEFAULT_BATCH_SIZE, updateint=1e6):
+    """Generator yielding annotated (augmented) records with novel k-mers."""
+    numbands_unset = not numbands
+    band_unset = not band and band != 0
+    if numbands_unset is not band_unset:
+        raise ValueError('Must specify `numbands` and `band` together')
+    if band is not None and band < 0:
+        message = ('`band` must be a value between 0 and {:d} (`numbands` - '
+                   '1), inclusive'.format(numbands - 1))
+        raise ValueError(message)
+
+    timer = kevlar_tpu.Timer()
+    timer.start()
+    nkmers = 0
+    nreads = 0
+    nprocessed = 0
+    unique_kmers = set()
+    case_tables = tuple(s.tables for s in casecounts)
+    ctrl_tables = tuple(s.tables for s in controlcounts)
+    skipping = skipuntil is not None
+
+    progress = kevlar_tpu.ProgressIndicator(
+        '[kevlar::novel]     processed {counter} reads', interval=updateint,
+        breaks=[1e7, 1e8, 1e9], usetimer=True)
+
+    for rbatch in batch_mod.batches_from_records(casestream, batch_size):
+        if skipping:
+            # restartability support (novel.py:114-132): fast-forward to a
+            # named read, host-side
+            names = [r.name for r in rbatch.records]
+            if skipuntil in names:
+                idx = names.index(skipuntil)
+                kevlar_tpu.plog('[kevlar::novel] Found read ' + skipuntil)
+                rbatch.records = rbatch.records[idx + 1:]
+                rbatch = batch_mod.ReadBatch(rbatch.records) \
+                    if rbatch.records else None
+                skipping = False
+                if rbatch is None:
+                    continue
+            else:
+                continue
+        interesting, abunds, discard, skip = novel_ops.novel_screen(
+            case_tables, ctrl_tables, rbatch.bases, rbatch.lengths,
+            ksize=ksize, casemin=casemin, ctrlmax=ctrlmax, screen=abundscreen,
+            numbands=numbands, band=band)
+        interesting = np.asarray(interesting)
+        abunds = np.asarray(abunds)
+        discard = np.asarray(discard)
+        nprocessed += len(rbatch)
+        progress.update(len(rbatch))
+
+        for i, record in enumerate(rbatch.records):
+            if discard[i]:
+                continue
+            positions = np.nonzero(interesting[i])[0]
+            if positions.size == 0:
+                continue
+            irecord = sequence.copy_record(record)
+            for p in positions:
+                p = int(p)
+                kmer = record.sequence[p:p + ksize]
+                abund = tuple(int(a) for a in abunds[:, i, p])
+                irecord.annotate(kmer, p, abund)
+                unique_kmers.add(kevlar_tpu.revcommin(kmer))
+            nreads += 1
+            nkmers += len(irecord.annotations)
+            yield irecord
+
+    elapsed = timer.stop()
+    message = 'Found {:d} instances of {:d} unique novel kmers in {:d} reads'
+    message += ' in {:.2f} seconds'
+    kevlar_tpu.plog('[kevlar::novel]', message.format(
+        nkmers, len(unique_kmers), nreads, elapsed))
+
+
+def main(args):
+    timer = kevlar_tpu.Timer()
+    timer.start()
+    if (not args.num_bands) is not (not args.band):
+        raise ValueError('Must specify --num-bands and --band together')
+    myband = args.band - 1 if args.band else None
+
+    kevlar_tpu.plog('[kevlar::novel] Loading control samples')
+    controls = load_samples(
+        args.control_counts, args.control, args.ksize, args.memory,
+        args.max_fpr, args.num_bands, myband, args.threads,
+        args.save_ctrl_counts)
+    kevlar_tpu.plog('[kevlar::novel] Loading case samples')
+    cases = load_samples(
+        args.case_counts, args.case, args.ksize, args.memory,
+        args.max_fpr, args.num_bands, myband, args.threads,
+        args.save_case_counts)
+
+    outstream = kevlar_tpu.open(args.out, 'w')
+    infiles = [f for filelist in args.case for f in filelist]
+    from kevlar_tpu import seqio
+    caserecords = seqio.multi_file_iter(infiles)
+    readstream = novel(
+        caserecords, cases, controls, ksize=args.ksize,
+        abundscreen=args.abund_screen, casemin=args.case_min,
+        ctrlmax=args.ctrl_max, numbands=args.num_bands, band=myband,
+        skipuntil=args.skip_until)
+    for augmented_read in readstream:
+        kevlar_tpu.print_augmented_fastx(augmented_read, outstream)
+
+    total = timer.stop()
+    kevlar_tpu.plog(
+        '[kevlar::novel] Total time: {:.2f} seconds'.format(total))

@@ -1,0 +1,82 @@
+"""Fused device kernel for the novel-k-mer screen.
+
+The reference's per-read Python loop (novel.py:95-176: per k-mer, point
+lookups against every case then control sketch with short-circuiting) becomes
+one jitted gather-compare pass per read batch: hash all windows once, gather
+min-of-table counts from every sample's sketch, and evaluate the
+casemin/ctrlmax predicate vectorised.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from kevlar_tpu.ops import hashing, sketch_ops
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('ksize', 'casemin', 'ctrlmax', 'screen', 'numbands',
+                     'band'))
+def novel_screen(case_tables, ctrl_tables, bases, lengths, ksize, casemin,
+                 ctrlmax, screen=None, numbands=None, band=None):
+    """Screen a read batch for novel (interesting) k-mers.
+
+    Parameters
+    ----------
+    case_tables / ctrl_tables : tuples of uint8 [ntables, tablesize] arrays
+    bases : uint8 [B, L] padded base codes
+    lengths : int32 [B] true read lengths
+
+    Returns
+    -------
+    interesting : bool [B, P] — k-mer passes casemin in every case and
+        ctrlmax in every control
+    abunds : uint8 [S, B, P] — per-sample counts (cases then controls),
+        in the order used for augmented-FASTX abundance tuples
+    discard : bool [B] — read should be dropped entirely (abund-screen:
+        first failing case abundance below `screen`)
+    skip : bool [B] — read contains a non-ACGT base or is shorter than k
+        (the reference skips such reads wholesale, novel.py:134-139)
+    """
+    B, L = bases.shape
+    h1, h2, valid = hashing.kmer_hashes(bases, ksize)
+    if numbands:
+        valid = valid & ((h1 & jnp.uint32(numbands - 1)) == jnp.uint32(band))
+
+    # reads with any invalid base (within their true length) are skipped
+    bad = (bases >= 4).astype(jnp.int32)
+    cumbad = jnp.cumsum(bad, axis=-1)
+    total_bad = jnp.take_along_axis(
+        jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cumbad], axis=1),
+        lengths.astype(jnp.int32)[:, None], axis=1)[:, 0]
+    skip = (total_bad > 0) | (lengths < ksize)
+
+    case_counts = jnp.stack([
+        sketch_ops.gather_counts(t, h1, h2) for t in case_tables])
+    if len(ctrl_tables):
+        ctrl_counts = jnp.stack([
+            sketch_ops.gather_counts(t, h1, h2) for t in ctrl_tables])
+    else:
+        ctrl_counts = jnp.zeros((0,) + h1.shape, dtype=jnp.uint8)
+
+    below = case_counts < jnp.uint8(casemin)          # [C, B, P]
+    any_below = jnp.any(below, axis=0)
+    if screen is not None:
+        # abundance of the *first* case sample that fails casemin, mirroring
+        # the reference's short-circuit order (novel.py:36-43)
+        first_fail = jnp.argmax(below, axis=0)        # [B, P]
+        fail_abund = jnp.take_along_axis(
+            case_counts, first_fail[None], axis=0)[0]
+        discard_kmer = valid & any_below & (fail_abund < jnp.uint8(screen))
+        discard = jnp.any(discard_kmer, axis=-1) & ~skip
+    else:
+        discard = jnp.zeros((B,), dtype=bool)
+
+    ctrl_ok = jnp.all(ctrl_counts <= jnp.uint8(ctrlmax), axis=0) \
+        if len(ctrl_tables) else jnp.ones_like(any_below)
+    interesting = valid & ~any_below & ctrl_ok & ~skip[:, None]
+
+    abunds = jnp.concatenate([case_counts, ctrl_counts], axis=0)
+    return interesting, abunds, discard, skip

@@ -1,0 +1,122 @@
+"""novel-k-mer screen: trio simulation, threshold semantics, banding."""
+
+import random
+
+import pytest
+
+import kevlar_tpu
+from kevlar_tpu import dna
+from kevlar_tpu.novel import novel
+from kevlar_tpu.sketch import Sketch
+from kevlar_tpu.count import consume_seqfile
+
+from . import simdata
+
+KSIZE = 21
+
+
+@pytest.fixture(scope='module')
+def trio():
+    rng = random.Random(1234)
+    genome = simdata.make_genome(rng, 2000)
+    snvpos = 987
+    child_genome, ref, alt = simdata.apply_snv(genome, snvpos, rng=rng)
+    child_reads = simdata.tiled_reads(child_genome, readlen=100, step=10,
+                                      prefix='child')
+    mom_reads = simdata.tiled_reads(genome, readlen=100, step=10,
+                                    prefix='mom')
+    dad_reads = simdata.tiled_reads(genome, readlen=100, step=10,
+                                    prefix='dad')
+    return dict(genome=genome, child_genome=child_genome, snvpos=snvpos,
+                ref=ref, alt=alt, child=child_reads, mom=mom_reads,
+                dad=dad_reads)
+
+
+def _count_reads(reads, ksize=KSIZE, tablesize=100003):
+    import numpy as np
+    from kevlar_tpu.batch import batches_from_records
+    ct = Sketch(ksize, tablesize, 4, counter_bits=8)
+    for b in batches_from_records(iter(reads)):
+        ct.consume_batch(b.bases)
+    return ct
+
+
+@pytest.fixture(scope='module')
+def trio_sketches(trio):
+    case = _count_reads(trio['child'])
+    mom = _count_reads(trio['mom'])
+    dad = _count_reads(trio['dad'])
+    return case, mom, dad
+
+
+def test_novel_finds_snv_kmers(trio, trio_sketches):
+    case, mom, dad = trio_sketches
+    results = list(novel(iter(trio['child']), [case], [mom, dad],
+                         ksize=KSIZE, casemin=6, ctrlmax=0))
+    assert len(results) > 0
+    # every annotated k-mer must span the SNV in the child genome
+    child_genome = trio['child_genome']
+    snvpos = trio['snvpos']
+    spanning = {child_genome[p:p + KSIZE]
+                for p in range(snvpos - KSIZE + 1, snvpos + 1)
+                if p >= 0 and p + KSIZE <= len(child_genome)}
+    spanning |= {dna.revcom(s) for s in spanning}
+    for record in results:
+        assert len(record.annotations) > 0
+        for ik in record.annotations:
+            kmerseq = record.ikmerseq(ik)
+            assert kmerseq in spanning
+            # abundance thresholds hold: case >= 6, controls <= 0
+            assert ik.abund[0] >= 6
+            assert all(a == 0 for a in ik.abund[1:])
+
+
+def test_novel_no_variants_no_output(trio, trio_sketches):
+    _, mom, dad = trio_sketches
+    momct = mom
+    results = list(novel(iter(trio['mom'][:50]), [momct], [momct],
+                         ksize=KSIZE, casemin=6, ctrlmax=0))
+    # case == control -> all interesting kmers also abundant in control
+    assert results == []
+
+
+def test_novel_skips_reads_with_n(trio_sketches):
+    case, mom, dad = trio_sketches
+    from kevlar_tpu.sequence import Record
+    rec = Record(name='weird', sequence='ACGTN' * 20, quality='I' * 100)
+    results = list(novel(iter([rec]), [case], [mom, dad], ksize=KSIZE,
+                         casemin=1, ctrlmax=255))
+    assert results == []
+
+
+def test_novel_band_union_equals_full(trio, trio_sketches):
+    case, mom, dad = trio_sketches
+    full = list(novel(iter(trio['child']), [case], [mom, dad],
+                      ksize=KSIZE, casemin=6, ctrlmax=0))
+    banded = []
+    numbands = 4
+    for band in range(numbands):
+        banded.extend(novel(iter(trio['child']), [case], [mom, dad],
+                            ksize=KSIZE, casemin=6, ctrlmax=0,
+                            numbands=numbands, band=band))
+    full_ann = {(r.name, ik.offset) for r in full for ik in r.annotations}
+    band_ann = {(r.name, ik.offset) for r in banded for ik in r.annotations}
+    assert full_ann == band_ann
+
+
+def test_abund_screen_discards_read(trio, trio_sketches):
+    case, mom, dad = trio_sketches
+    from kevlar_tpu.sequence import Record
+    # a read with novel content absent from the case sketch (abund 0 < screen)
+    alien = Record(name='alien', sequence='TGCA' * 25, quality='I' * 100)
+    results = list(novel(iter([alien]), [case], [mom, dad], ksize=KSIZE,
+                         casemin=6, ctrlmax=0, abundscreen=2))
+    assert results == []
+
+
+def test_band_args_must_pair(trio_sketches):
+    case, mom, dad = trio_sketches
+    with pytest.raises(ValueError):
+        list(novel(iter([]), [case], [mom], numbands=4))
+    with pytest.raises(ValueError):
+        list(novel(iter([]), [case], [mom], numbands=4, band=-1))
