@@ -1,0 +1,175 @@
+"""Reference genome handling: cutouts + exact seed matching (no BWA).
+
+The reference pipeline shells out to ``bwa mem -k s -T s -a -c 5000`` for
+exact seed matching (/root/reference/kevlar/localize.py:131-144 — with match
+score 1 and threshold = seed length, only perfect full-length matches are
+reported).  Here the same contract is implemented natively: every seed-sized
+window of the reference genome is packed into an exact canonical 256-bit code
+(:func:`kevlar_tpu.dna.seed_codes`), folded to a 64-bit key, sorted once, and
+queried by binary search with exact sequence verification — a vectorised
+numpy index with no subprocess, no index files on disk.
+"""
+
+import re
+
+import numpy as np
+
+import kevlar_tpu
+from kevlar_tpu import dna, seqio
+
+
+class KevlarRefrSeqNotFoundError(ValueError):
+    """Raised if the reference sequence cannot be found."""
+    pass
+
+
+class KevlarInvalidCutoutDeflineError(ValueError):
+    pass
+
+
+class KevlarDeflineSequenceLengthMismatchError(RuntimeError):
+    pass
+
+
+# parity with bwa mem -c 5000: seeds with more matches are skipped
+MAX_SEED_HITS = 5000
+
+_FOLD = np.array([0x9e3779b97f4a7c15, 0xbf58476d1ce4e5b9,
+                  0x94d049bb133111eb, 0x2545f4914f6cdd1d], dtype=np.uint64)
+
+
+def _fold_codes(codes):
+    """Fold [N, 4] uint64 canonical seed codes to a single uint64 key."""
+    acc = np.zeros(codes.shape[:-1], dtype=np.uint64)
+    for w in range(4):
+        x = (codes[..., w] + _FOLD[w]) * _FOLD[3 - w]
+        acc ^= x ^ (x >> np.uint64(29))
+    return acc
+
+
+class SeedIndex:
+    """Sorted-key index of every canonical seed in a reference genome."""
+
+    def __init__(self, refrseqs, seedsize):
+        self.seedsize = seedsize
+        self.refrseqs = refrseqs
+        self._seqids = sorted(refrseqs)
+        keys_all, seqidx_all, pos_all = [], [], []
+        for si, seqid in enumerate(self._seqids):
+            seq = refrseqs[seqid]
+            if len(seq) < seedsize:
+                continue
+            codes, valid = dna.seed_codes(dna.encode(seq), seedsize)
+            keys = _fold_codes(codes)
+            pos = np.nonzero(valid)[0]
+            keys_all.append(keys[pos])
+            seqidx_all.append(np.full(pos.shape, si, dtype=np.int32))
+            pos_all.append(pos.astype(np.int64))
+        if keys_all:
+            keys = np.concatenate(keys_all)
+            order = np.argsort(keys, kind='stable')
+            self._keys = keys[order]
+            self._seqidx = np.concatenate(seqidx_all)[order]
+            self._pos = np.concatenate(pos_all)[order]
+        else:
+            self._keys = np.zeros(0, dtype=np.uint64)
+            self._seqidx = np.zeros(0, dtype=np.int32)
+            self._pos = np.zeros(0, dtype=np.int64)
+
+    def lookup(self, seeds):
+        """Match canonical seed strings; returns {seed: set((seqid, pos))}.
+
+        Only perfect full-length matches are returned; seeds with more than
+        MAX_SEED_HITS matches yield none (bwa -c parity).
+        """
+        result = {}
+        seedlist = sorted(seeds)
+        if not seedlist or len(self._keys) == 0:
+            return result
+        qbases, _ = dna.encode_batch(seedlist)
+        qcodes, qvalid = dna.seed_codes(qbases, self.seedsize)
+        qkeys = _fold_codes(qcodes[:, 0, :])
+        lo = np.searchsorted(self._keys, qkeys, side='left')
+        hi = np.searchsorted(self._keys, qkeys, side='right')
+        for i, seed in enumerate(seedlist):
+            if not qvalid[i, 0]:
+                continue
+            n = int(hi[i] - lo[i])
+            if n == 0 or n > MAX_SEED_HITS:
+                continue
+            matches = set()
+            for idx in range(int(lo[i]), int(hi[i])):
+                seqid = self._seqids[self._seqidx[idx]]
+                pos = int(self._pos[idx])
+                # exact verification (guards against 64-bit fold collisions)
+                window = self.refrseqs[seqid][pos:pos + self.seedsize]
+                if dna.revcommin(window.upper()) == seed:
+                    matches.add((seqid, pos))
+            if matches:
+                result[seed] = matches
+        return result
+
+
+_index_cache = {}
+
+
+def autoindex(refrfile, seedsize=51):
+    """Build (and cache) the seed index for a reference FASTA file."""
+    import os.path
+    if not os.path.isfile(refrfile):
+        raise KevlarRefrSeqNotFoundError(
+            'reference file {:s} does not exist'.format(refrfile))
+    key = (os.path.abspath(refrfile), seedsize)
+    if key not in _index_cache:
+        kevlar_tpu.plog('[kevlar::reference] building seed index for '
+                        '"{}" (seedsize {})'.format(refrfile, seedsize))
+        refrseqs = seqio.parse_seq_dict(kevlar_tpu.open(refrfile, 'r'))
+        _index_cache.clear()  # keep at most one genome index in memory
+        _index_cache[key] = SeedIndex(refrseqs, seedsize)
+    return _index_cache[key]
+
+
+class ReferenceCutout:
+    """An interval of the reference genome matched by a variant contig.
+
+    Deflines use the ``seqid_start-end`` convention of the reference
+    implementation (/root/reference/kevlar/reference.py:117-130).
+    """
+
+    def __init__(self, defline=None, sequence=None):
+        self.defline = defline
+        self.sequence = sequence
+        self._seqid = None
+        self._startpos = None
+        self._endpos = None
+        if defline:
+            self.parse_defline(defline)
+
+    def __len__(self):
+        return self._endpos - self._startpos
+
+    def parse_defline(self, defline):
+        match = re.search(r'(\S+)_(\d+)-(\d+)', defline)
+        if not match:
+            raise KevlarInvalidCutoutDeflineError(defline)
+        self._seqid = match.group(1)
+        self._startpos = int(match.group(2))
+        self._endpos = int(match.group(3))
+        if not self.sequence:
+            return
+        if len(self) != len(self.sequence):
+            raise KevlarDeflineSequenceLengthMismatchError(
+                'defline length: {:d}, sequence length: {:d}'.format(
+                    len(self), len(self.sequence)))
+
+    @property
+    def interval(self):
+        return self._seqid, self._startpos, self._endpos
+
+    def local_to_global(self, coordinate):
+        return self._startpos + coordinate
+
+
+def load_refr_cutouts(instream):
+    for defline, sequence in seqio.parse_fasta(instream):
+        yield ReferenceCutout(defline[1:], sequence)
