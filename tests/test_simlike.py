@@ -1,0 +1,186 @@
+"""Likelihood scoring: golden values and trio scoring semantics.
+
+Golden constants for `abund_log_prob` are the published values pinned by the
+reference implementation's test suite (kevlar test_simlike.py) — they define
+the mathematical contract of the model.
+"""
+
+import random
+
+import pytest
+
+from kevlar_tpu.simlike import (abund_log_prob, likelihood_denovo,
+                                likelihood_false, likelihood_inherited,
+                                simlike, spanning_kmer_abundances)
+from kevlar_tpu.sketch import Sketch
+from kevlar_tpu.vcf import Variant
+
+from . import simdata
+
+
+def test_abund_log_prob_genotype0():
+    assert abund_log_prob(0, 3, refrabund=1) == pytest.approx(-12.44134,
+                                                              abs=1e-4)
+    assert abund_log_prob(0, 4, refrabund=1) == pytest.approx(-17.43855,
+                                                              abs=1e-4)
+    assert abund_log_prob(0, 4, refrabund=6) == pytest.approx(-10.24689,
+                                                              abs=1e-4)
+    assert abund_log_prob(0, 4, refrabund=15) == pytest.approx(-6.83168,
+                                                               abs=1e-4)
+
+
+def test_abund_log_prob_genotype1():
+    assert abund_log_prob(1, 1) == pytest.approx(-8.43023, abs=1e-4)
+    assert abund_log_prob(1, 10) == pytest.approx(-3.08648, abs=1e-4)
+    assert abund_log_prob(1, 15) == pytest.approx(-2.305232, abs=1e-4)
+    assert abund_log_prob(1, 20) == pytest.approx(-3.08648, abs=1e-4)
+    assert abund_log_prob(1, 10, mean=50.0, sd=9.9) == \
+        pytest.approx(-7.10969, abs=1e-4)
+    assert abund_log_prob(1, 20, mean=50.0, sd=9.9) == \
+        pytest.approx(-3.02848, abs=1e-4)
+
+
+def test_abund_log_prob_genotype2():
+    assert abund_log_prob(2, 1) == pytest.approx(-9.56869, abs=1e-4)
+    assert abund_log_prob(2, 10) == pytest.approx(-6.12338, abs=1e-4)
+    assert abund_log_prob(2, 30) == pytest.approx(-2.99838, abs=1e-4)
+    assert abund_log_prob(2, 53) == pytest.approx(-7.13119, abs=1e-4)
+    assert abund_log_prob(2, 29, mean=47.0, sd=9.3) == \
+        pytest.approx(-5.0220, abs=1e-3)
+    assert abund_log_prob(2, 37, mean=47.0, sd=9.3) == \
+        pytest.approx(-3.727054, abs=1e-4)
+    assert abund_log_prob(2, 43, mean=47.0, sd=9.3) == \
+        pytest.approx(-3.241449, abs=1e-4)
+
+
+def _fake_abunds():
+    case = [7, 6, 6, 8, 9, 7]
+    mom = [0, 1, 0, 0, 1, 0]
+    dad = [0, 0, 0, 1, 0, 0]
+    refrabund = [1] * 6
+    return [case, mom, dad], refrabund
+
+
+def test_likelihoods_denovo_dominates_for_denovo_pattern():
+    abunds, refrabund = _fake_abunds()
+    lldn = likelihood_denovo(abunds, refrabund, mean=15.0)
+    llfp = likelihood_false(abunds, refrabund, mean=15.0)
+    llih = likelihood_inherited(abunds, mean=15.0)
+    assert lldn > llfp
+    assert lldn > llih
+
+
+def test_likelihoods_inherited_dominates_for_inherited_pattern():
+    case = [14, 15, 16, 15, 14, 15]
+    mom = [15, 16, 15, 14, 15, 16]
+    dad = [0, 0, 0, 0, 0, 0]
+    abunds = [case, mom, dad]
+    refrabund = [1] * 6
+    lldn = likelihood_denovo(abunds, refrabund, mean=30.0)
+    llih = likelihood_inherited(abunds, mean=30.0)
+    assert llih > lldn
+
+
+KSIZE = 21
+
+
+@pytest.fixture(scope='module')
+def scoring_trio():
+    rng = random.Random(555)
+    genome = simdata.make_genome(rng, 3000)
+    snvpos = 1500
+    child_genome, ref, alt = simdata.apply_snv(genome, snvpos, rng=rng)
+    # proband is het: half reads from each haplotype
+    child_reads = (simdata.tiled_reads(child_genome, 100, 10, 'childA') +
+                   simdata.tiled_reads(genome, 100, 10, 'childB'))
+    mom_reads = simdata.tiled_reads(genome, 100, 5, 'mom')
+    dad_reads = simdata.tiled_reads(genome, 100, 5, 'dad')
+
+    def count(reads):
+        from kevlar_tpu.batch import batches_from_records
+        ct = Sketch(KSIZE, 1000003, 4, counter_bits=8)
+        for b in batches_from_records(iter(reads)):
+            ct.consume_batch(b.bases)
+        return ct
+
+    case, mom, dad = count(child_reads), count(mom_reads), count(dad_reads)
+    refr = Sketch(KSIZE, 1000003, 4, counter_bits=4)
+    refr.consume(genome)
+    return dict(genome=genome, child=child_genome, snvpos=snvpos, ref=ref,
+                alt=alt, case=case, mom=mom, dad=dad, refr=refr)
+
+
+def test_spanning_kmer_abundances_drops_refr_kmers(scoring_trio):
+    d = scoring_trio
+    p = d['snvpos']
+    altseq = d['child'][p - KSIZE + 1:p + KSIZE]
+    refseq = d['genome'][p - KSIZE + 1:p + KSIZE]
+    abunds, refrabund, ndropped = spanning_kmer_abundances(
+        altseq, refseq, d['case'], [d['mom'], d['dad']], d['refr'])
+    assert ndropped == 0
+    assert len(abunds[0]) == KSIZE
+    assert all(a >= 6 for a in abunds[0])       # het coverage ~10
+    assert all(a == 0 for a in abunds[1])
+    assert all(a == 0 for a in abunds[2])
+    assert all(r == 1 for r in refrabund)       # unique in genome
+    # k-mers present in the reference genome get dropped
+    refseq_only = d['genome'][100:100 + 2 * KSIZE - 1]
+    abunds2, _, ndropped2 = spanning_kmer_abundances(
+        refseq_only, refseq_only, d['case'], [d['mom'], d['dad']], d['refr'])
+    assert ndropped2 == KSIZE
+    assert abunds2[0] == []
+
+
+def test_simlike_scores_denovo_call(scoring_trio):
+    d = scoring_trio
+    p = d['snvpos']
+    call = Variant('chr1', p, d['ref'], d['alt'],
+                   ALTWINDOW=d['child'][p - KSIZE + 1:p + KSIZE],
+                   REFRWINDOW=d['genome'][p - KSIZE + 1:p + KSIZE],
+                   PART='1')
+    # (mu=10: tiled coverage of a het k-mer is ~10)
+    out = list(simlike(iter([call]), d['case'], [d['mom'], d['dad']],
+                       d['refr'], mu=10.0, sigma=3.0, casemin=6))
+    assert len(out) == 1
+    scored = out[0]
+    assert scored.filterstr == 'PASS'
+    assert scored.attribute('LIKESCORE') > 0
+    assert scored.attribute('LLDN') > scored.attribute('LLIH')
+    assert scored.attribute('LLDN') > scored.attribute('LLFP')
+    assert scored.attribute('CALLCLASS') == '1'
+    assert scored.format('Case', 'ALTABUND') is not None
+
+
+def test_simlike_filters_inherited_call(scoring_trio):
+    """A variant present in mom at high abundance scores poorly."""
+    d = scoring_trio
+    p = d['snvpos']
+    refwin = d['genome'][p - KSIZE + 1:p + KSIZE]
+    # swap: pretend ref window is the ALT (abundant in all three samples)
+    call = Variant('chr1', p, d['alt'], d['ref'], ALTWINDOW=refwin,
+                   REFRWINDOW=refwin, PART='2')
+    out = list(simlike(iter([call]), d['case'], [d['mom'], d['dad']],
+                       d['refr'], mu=10.0, sigma=3.0, casemin=6))
+    assert len(out) == 1
+    # every window k-mer exists in the reference genome -> all dropped ->
+    # PassengerVariant (no spanning novel k-mers)
+    assert 'PassengerVariant' in out[0].filterstr
+
+
+def test_simlike_partition_best_call_wins(scoring_trio):
+    d = scoring_trio
+    p = d['snvpos']
+    goodcall = Variant('chr1', p, d['ref'], d['alt'],
+                       ALTWINDOW=d['child'][p - KSIZE + 1:p + KSIZE],
+                       REFRWINDOW=d['genome'][p - KSIZE + 1:p + KSIZE],
+                       PART='7')
+    # weaker call in the same partition: shorter window, low abundance
+    weak = Variant('chr1', p + 500, d['genome'][p + 500], 'A',
+                   ALTWINDOW='T' * KSIZE, REFRWINDOW='G' * KSIZE, PART='7')
+    out = list(simlike(iter([goodcall, weak]), d['case'],
+                       [d['mom'], d['dad']], d['refr'], mu=10.0, sigma=3.0,
+                       casemin=6))
+    by_pos = {c.position: c for c in out}
+    assert by_pos[p].attribute('CALLCLASS') == '7'
+    assert 'PartitionScore' in by_pos[p + 500].filterstr or \
+        'PassengerVariant' in by_pos[p + 500].filterstr
