@@ -1,0 +1,177 @@
+"""Benchmark: count+novel throughput (reads/s/chip) on the device.
+
+Generates a synthetic trio (tiled error-free reads over a random genome with
+de novo SNVs in the proband), runs the full device pipeline — Count-Min
+counting of all three samples plus the fused novel-k-mer screen of the case
+reads — and reports one JSON line:
+
+    {"metric": "count_novel_reads_per_s", "value": N, "unit": "reads/s",
+     "vs_baseline": R}
+
+``vs_baseline`` compares against a single-threaded host (numpy) execution of
+the same counting + screening workload — a vectorised CPU implementation
+standing in for the reference's khmer C++ engine (the reference publishes no
+throughput numbers; BASELINE.md).  Wall time covers device compute on packed
+base arrays (FASTQ parsing/marshalling excluded on both sides equally).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+KSIZE = 31
+READLEN = 150
+PADLEN = 160
+BATCH = 4096
+GENOME_LEN = 200_000
+COVERAGE = 30
+TABLESIZE = 2_000_003
+CASEMIN, CTRLMAX = 6, 1
+
+
+def make_genome(rng, n):
+    return rng.integers(0, 4, size=n, dtype=np.uint8)
+
+
+def tile_reads(genome, readlen, coverage, rng):
+    n_reads = len(genome) * coverage // readlen
+    starts = rng.integers(0, len(genome) - readlen, size=n_reads)
+    idx = starts[:, None] + np.arange(readlen)[None, :]
+    reads = genome[idx]
+    out = np.full((n_reads, PADLEN), 4, dtype=np.uint8)
+    out[:, :readlen] = reads
+    return out
+
+
+def batches(reads):
+    for i in range(0, len(reads), BATCH):
+        chunk = reads[i:i + BATCH]
+        if len(chunk) < BATCH:
+            pad = np.full((BATCH - len(chunk), PADLEN), 4, np.uint8)
+            chunk = np.concatenate([chunk, pad])
+        yield chunk
+
+
+def device_pipeline(case_reads, ctrl_reads_list):
+    """Count 3 samples + screen case reads on device. Returns wall seconds."""
+    import jax
+    import jax.numpy as jnp
+    from kevlar_tpu.sketch import Sketch
+    from kevlar_tpu.ops import novel_ops
+
+    sketches = [Sketch(KSIZE, TABLESIZE, 4, counter_bits=8)
+                for _ in range(1 + len(ctrl_reads_list))]
+    all_reads = [case_reads] + ctrl_reads_list
+
+    # warmup: compile consume + screen on one batch each
+    warm = next(batches(case_reads))
+    sketches[0].consume_batch(warm)
+    lengths = jnp.full((BATCH,), READLEN, dtype=jnp.int32)
+    novel_ops.novel_screen(
+        (sketches[0].tables,),
+        tuple(s.tables for s in sketches[1:]),
+        jnp.asarray(warm), lengths, ksize=KSIZE, casemin=CASEMIN,
+        ctrlmax=CTRLMAX)
+    # reset the warmed sketch
+    sketches[0] = Sketch(KSIZE, TABLESIZE, 4, counter_bits=8)
+
+    t0 = time.time()
+    for sk, reads in zip(sketches, all_reads):
+        for chunk in batches(reads):
+            sk.consume_batch(chunk)
+    case_tables = (sketches[0].tables,)
+    ctrl_tables = tuple(s.tables for s in sketches[1:])
+    n_interesting = 0
+    for chunk in batches(case_reads):
+        interesting, abunds, discard, skip = novel_ops.novel_screen(
+            case_tables, ctrl_tables, jnp.asarray(chunk), lengths,
+            ksize=KSIZE, casemin=CASEMIN, ctrlmax=CTRLMAX)
+        n_interesting += int(jnp.sum(interesting))
+    jax.block_until_ready(case_tables[0])
+    elapsed = time.time() - t0
+    return elapsed, n_interesting
+
+
+def host_pipeline(case_reads, ctrl_reads_list):
+    """Single-threaded numpy version of the same workload (CPU baseline)."""
+    from kevlar_tpu import dna
+
+    ntables = 4
+
+    def consume(reads):
+        tables = np.zeros((ntables, TABLESIZE), dtype=np.uint8)
+        for i in range(0, len(reads), BATCH):
+            chunk = reads[i:i + BATCH]
+            h1, h2, valid = dna.kmer_hashes(chunk, KSIZE)
+            h1f = h1[valid]
+            h2f = h2[valid]
+            for t in range(ntables):
+                idx = (h1f + np.uint32(t) * h2f) % np.uint32(TABLESIZE)
+                inc = np.bincount(idx.astype(np.int64), minlength=TABLESIZE)
+                tables[t] = np.minimum(
+                    tables[t].astype(np.int64) + inc, 255).astype(np.uint8)
+        return tables
+
+    def gather(tables, h1, h2):
+        counts = None
+        for t in range(ntables):
+            idx = (h1 + np.uint32(t) * h2) % np.uint32(TABLESIZE)
+            c = tables[t][idx.astype(np.int64)]
+            counts = c if counts is None else np.minimum(counts, c)
+        return counts
+
+    t0 = time.time()
+    all_tables = [consume(r) for r in [case_reads] + ctrl_reads_list]
+    n_interesting = 0
+    for i in range(0, len(case_reads), BATCH):
+        chunk = case_reads[i:i + BATCH]
+        h1, h2, valid = dna.kmer_hashes(chunk, KSIZE)
+        case_counts = gather(all_tables[0], h1, h2)
+        ok = valid & (case_counts >= CASEMIN)
+        for tb in all_tables[1:]:
+            ok &= gather(tb, h1, h2) <= CTRLMAX
+        n_interesting += int(ok.sum())
+    elapsed = time.time() - t0
+    return elapsed, n_interesting
+
+
+def main():
+    rng = np.random.default_rng(20260817)
+    genome = make_genome(rng, GENOME_LEN)
+    child = genome.copy()
+    snv_positions = rng.choice(GENOME_LEN - 100, size=20, replace=False) + 50
+    child[snv_positions] = (child[snv_positions] +
+                            rng.integers(1, 4, size=len(snv_positions))) % 4
+
+    case_reads = tile_reads(child, READLEN, COVERAGE, rng)
+    mom_reads = tile_reads(genome, READLEN, COVERAGE, rng)
+    dad_reads = tile_reads(genome, READLEN, COVERAGE, rng)
+    total_reads = len(case_reads) * 2 + len(mom_reads) + len(dad_reads)
+
+    device_s, dev_hits = device_pipeline(case_reads, [mom_reads, dad_reads])
+    reads_per_s = total_reads / device_s
+
+    # CPU baseline on a subset, extrapolated
+    sub = max(len(case_reads) // 8, BATCH)
+    host_s, host_hits = host_pipeline(
+        case_reads[:sub], [mom_reads[:sub], dad_reads[:sub]])
+    host_total = sub * 4
+    host_reads_per_s = host_total / host_s
+
+    result = {
+        'metric': 'count_novel_reads_per_s',
+        'value': round(reads_per_s, 1),
+        'unit': 'reads/s',
+        'vs_baseline': round(reads_per_s / host_reads_per_s, 2),
+    }
+    print(json.dumps(result))
+    print('# device: {:.2f}s for {} reads ({} interesting kmers); '
+          'host-baseline: {:.2f}s for {} reads -> {:.0f} reads/s'.format(
+              device_s, total_reads, dev_hits, host_s, host_total,
+              host_reads_per_s), file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

@@ -17,12 +17,41 @@ evaluate.
 
 import builtins
 from gzip import open as gzopen
+import os
 from os import makedirs
 from os.path import dirname
 import re
 import sys
 
 __version__ = '0.1.0'
+
+# Persistent XLA compilation cache: every CLI stage is its own process, and
+# TPU compiles (especially through remote-compile tunnels) can take minutes —
+# the cache makes every shape a one-time cost across the whole workflow.
+if 'JAX_COMPILATION_CACHE_DIR' not in os.environ:
+    _cache_dir = os.path.join(
+        os.path.expanduser('~'), '.cache', 'kevlar_tpu', 'jax_cache')
+    try:
+        makedirs(_cache_dir, exist_ok=True)
+        os.environ['JAX_COMPILATION_CACHE_DIR'] = _cache_dir
+        os.environ.setdefault(
+            'JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
+    except OSError:
+        pass
+
+# Optional platform override: KEVLAR_PLATFORM=cpu routes the (identical) XLA
+# programs to the host backend — useful for small inputs where TPU compile
+# latency would dominate, and for environments without an accelerator.
+# jax may already be imported (e.g. by a site hook), in which case the env
+# var is too late and the override must go through jax.config.
+if os.environ.get('KEVLAR_PLATFORM'):
+    _plat = os.environ['KEVLAR_PLATFORM']
+    os.environ['JAX_PLATFORMS'] = _plat
+    if 'jax' in sys.modules:
+        try:
+            sys.modules['jax'].config.update('jax_platforms', _plat)
+        except Exception:
+            pass
 
 logstream = None
 teelog = False

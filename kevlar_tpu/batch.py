@@ -27,16 +27,27 @@ def bucket_length(length):
 
 
 class ReadBatch:
-    """A batch of reads as padded arrays, with the originating records."""
+    """A batch of reads as padded arrays, with the originating records.
+
+    With ``pad_rows``, the row (batch) dimension is padded with invalid
+    reads up to that size so every batch shares one compiled shape — the
+    padding contributes no valid k-mer windows.
+    """
 
     __slots__ = ('records', 'bases', 'lengths')
 
-    def __init__(self, records, pad_to=None):
+    def __init__(self, records, pad_to=None, pad_rows=None):
         self.records = records
         seqs = [r.sequence for r in records]
         maxlen = max((len(s) for s in seqs), default=0)
         pad = pad_to if pad_to is not None else bucket_length(maxlen)
         self.bases, self.lengths = dna.encode_batch(seqs, pad_to=pad)
+        if pad_rows is not None and len(records) < pad_rows:
+            extra = pad_rows - len(records)
+            self.bases = np.concatenate(
+                [self.bases, np.full((extra, pad), 4, dtype=np.uint8)])
+            self.lengths = np.concatenate(
+                [self.lengths, np.zeros(extra, dtype=np.int32)])
 
     def __len__(self):
         return len(self.records)
@@ -55,10 +66,10 @@ def batches_from_records(recordstream, batch_size=DEFAULT_BATCH_SIZE,
         b = bucket_length(len(record.sequence))
         pending.setdefault(b, []).append(record)
         if len(pending[b]) >= batch_size:
-            yield ReadBatch(pending.pop(b), pad_to=b)
+            yield ReadBatch(pending.pop(b), pad_to=b, pad_rows=batch_size)
     for b in sorted(pending):
         if pending[b]:
-            yield ReadBatch(pending[b], pad_to=b)
+            yield ReadBatch(pending[b], pad_to=b, pad_rows=batch_size)
 
 
 def pad_batch_rows(bases, batch_size):

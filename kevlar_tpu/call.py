@@ -106,7 +106,8 @@ def make_call_mask(calls, ksize, maskmem, maskmaxfpr=0.01, maskfile=None,
     """Build a Bloom mask of ALTWINDOW k-mers from a call set."""
     from kevlar_tpu import sketch as sketch_mod
     buckets = int(maskmem) * sketch_mod.BUCKETS_PER_BYTE[1] // 4
-    mask = sketch_mod.Sketch(ksize, buckets, 4, counter_bits=1)
+    mask = sketch_mod.Sketch(ksize, buckets, 4, counter_bits=1,
+                             backend='host')
     for varcall in calls:
         window = varcall.attribute('ALTWINDOW')
         if window is not None and len(window) >= ksize:

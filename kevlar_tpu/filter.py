@@ -47,7 +47,18 @@ def first_pass(reads, mask, memory, timer, chunk=1 << 16):
             keep = mcnt == 0
         else:
             keep = np.ones(h1.shape, dtype=bool)
-        counts.consume_hashes(h1, h2, keep)
+        # pad every slice to the fixed chunk size so all flushes share one
+        # compiled kernel (ragged sizes would otherwise recompile)
+        for start in range(0, len(h1), chunk):
+            s1 = h1[start:start + chunk]
+            s2 = h2[start:start + chunk]
+            sk = keep[start:start + chunk]
+            if len(s1) < chunk:
+                pad = chunk - len(s1)
+                s1 = np.concatenate([s1, np.zeros(pad, np.uint32)])
+                s2 = np.concatenate([s2, np.ones(pad, np.uint32)])
+                sk = np.concatenate([sk, np.zeros(pad, bool)])
+            counts.consume_hashes(s1, s2, sk)
         pend_h1.clear()
         pend_h2.clear()
 
@@ -57,7 +68,8 @@ def first_pass(reads, mask, memory, timer, chunk=1 << 16):
             continue
         if counts is None:
             ksize = read.annotations[0].ksize
-            counts = Sketch(ksize, int(memory) // 4, 4, counter_bits=8)
+            counts = Sketch(ksize, int(memory) // 4, 4, counter_bits=8,
+                            backend='host')
         h1, h2 = _annotated_kmer_hashes([read])
         pend_h1.append(h1)
         pend_h2.append(h2)

@@ -1,0 +1,138 @@
+// Native FASTA/FASTQ(.gz) batch parser.
+//
+// The reference relies on khmer's C++ ReadParser for sequence input
+// (/root/reference/kevlar/count.py:40).  This is the kevlar-tpu equivalent:
+// a zlib-backed streaming parser that marshals reads directly into the padded
+// 2-bit base-code batches the device kernels consume — no per-read Python
+// objects on the hot path.
+//
+// C ABI (ctypes):
+//   void* kt_fastx_open(const char* path);
+//   int   kt_fastx_next_batch(void* h, int max_reads, int max_len,
+//                             uint8_t* bases, int32_t* lengths,
+//                             char* names, int names_cap);
+//       returns #reads parsed (0 at EOF, -1 on error); bases is a
+//       [max_reads, max_len] row-major array pre-filled by the callee with
+//       the invalid code 4; names are nul-separated.
+//   void  kt_fastx_close(void* h);
+
+#include <zlib.h>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct FastxReader {
+    gzFile fp = nullptr;
+    std::string pending;      // buffered line (lookahead)
+    bool have_pending = false;
+    std::vector<char> buf;
+
+    bool getline(std::string &out) {
+        if (have_pending) {
+            out = pending;
+            have_pending = false;
+            return true;
+        }
+        out.clear();
+        char chunk[4096];
+        bool got = false;
+        while (gzgets(fp, chunk, sizeof(chunk)) != nullptr) {
+            got = true;
+            size_t n = std::strlen(chunk);
+            bool nl = n > 0 && chunk[n - 1] == '\n';
+            if (nl) chunk[--n] = '\0';
+            if (n > 0 && chunk[n - 1] == '\r') chunk[--n] = '\0';
+            out.append(chunk, n);
+            if (nl) break;
+        }
+        return got;
+    }
+
+    void ungetline(const std::string &line) {
+        pending = line;
+        have_pending = true;
+    }
+};
+
+uint8_t g_code[256];
+struct CodeInit {
+    CodeInit() {
+        std::memset(g_code, 4, sizeof(g_code));
+        g_code[(int)'A'] = g_code[(int)'a'] = 0;
+        g_code[(int)'C'] = g_code[(int)'c'] = 1;
+        g_code[(int)'G'] = g_code[(int)'g'] = 2;
+        g_code[(int)'T'] = g_code[(int)'t'] = 3;
+    }
+} g_code_init;
+
+}  // namespace
+
+extern "C" {
+
+void *kt_fastx_open(const char *path) {
+    gzFile fp = gzopen(path, "rb");
+    if (!fp) return nullptr;
+    gzbuffer(fp, 1 << 20);
+    auto *r = new FastxReader();
+    r->fp = fp;
+    return r;
+}
+
+void kt_fastx_close(void *h) {
+    auto *r = static_cast<FastxReader *>(h);
+    if (r) {
+        if (r->fp) gzclose(r->fp);
+        delete r;
+    }
+}
+
+int kt_fastx_next_batch(void *h, int max_reads, int max_len, uint8_t *bases,
+                        int32_t *lengths, char *names, int names_cap) {
+    auto *r = static_cast<FastxReader *>(h);
+    if (!r) return -1;
+    int n = 0;
+    int names_used = 0;
+    std::string line, seq, name;
+    while (n < max_reads && r->getline(line)) {
+        if (line.empty()) continue;
+        if (line[0] == '@') {          // FASTQ
+            name = line.substr(1);
+            if (!r->getline(seq)) return -1;
+            std::string plus, qual;
+            if (!r->getline(plus)) return -1;   // '+'
+            if (!r->getline(qual)) return -1;   // quality (len == seq)
+        } else if (line[0] == '>') {   // FASTA (possibly multi-line)
+            name = line.substr(1);
+            seq.clear();
+            std::string next;
+            while (r->getline(next)) {
+                if (!next.empty() && (next[0] == '>' || next[0] == '@')) {
+                    r->ungetline(next);
+                    break;
+                }
+                seq += next;
+            }
+        } else {
+            return -1;  // unrecognized format
+        }
+        int L = (int)seq.size();
+        if (L > max_len) L = max_len;  // truncate overly long reads
+        uint8_t *row = bases + (size_t)n * max_len;
+        for (int i = 0; i < L; ++i) row[i] = g_code[(uint8_t)seq[i]];
+        lengths[n] = L;
+        int need = (int)name.size() + 1;
+        if (names_used + need <= names_cap) {
+            std::memcpy(names + names_used, name.c_str(), need);
+            names_used += need;
+        } else if (names_used < names_cap) {
+            names[names_used++] = '\0';
+        }
+        ++n;
+    }
+    return n;
+}
+
+}  // extern "C"

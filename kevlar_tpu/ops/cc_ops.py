@@ -50,3 +50,49 @@ def connected_components_bipartite(read_ids, kmer_ids, n_reads, n_kmers):
 
 connected_components_bipartite_jit = jax.jit(
     connected_components_bipartite, static_argnames=('n_reads', 'n_kmers'))
+
+
+def host_connected_components(read_ids, kmer_ids, n_reads, n_kmers):
+    """Union-find fallback for small graphs (device dispatch not worth it).
+
+    Returns the same labels as the device kernel: the smallest read index in
+    each component.
+    """
+    parent = list(range(n_reads))
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    first_read_for_kmer = {}
+    for r, k in zip(read_ids, kmer_ids):
+        r = int(r)
+        k = int(k)
+        if k in first_read_for_kmer:
+            ra, rb = find(first_read_for_kmer[k]), find(r)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        else:
+            first_read_for_kmer[k] = r
+    import numpy as np
+    return np.array([find(i) for i in range(n_reads)], dtype=np.int32)
+
+
+# below this edge count, the host union-find wins over a device dispatch
+HOST_CC_THRESHOLD = 200_000
+
+
+def connected_components(read_ids, kmer_ids, n_reads, n_kmers):
+    """Dispatch to host union-find or the device label-propagation kernel."""
+    if len(read_ids) < HOST_CC_THRESHOLD:
+        return host_connected_components(read_ids, kmer_ids, n_reads,
+                                         n_kmers)
+    return connected_components_bipartite_jit(
+        read_ids, kmer_ids, n_reads=n_reads, n_kmers=n_kmers)

@@ -1,0 +1,30 @@
+"""Mesh construction helpers."""
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+
+def device_grid(n_data=None, n_shard=None, devices=None):
+    """Pick a (data, shard) grid for the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n_data is None and n_shard is None:
+        # favor sharding the sketch (memory scaling) over data parallelism
+        n_shard = n
+        n_data = 1
+    elif n_data is None:
+        n_data = n // n_shard
+    elif n_shard is None:
+        n_shard = n // n_data
+    assert n_data * n_shard == n, (n_data, n_shard, n)
+    return n_data, n_shard, devices
+
+
+def make_mesh(n_data=None, n_shard=None, devices=None):
+    """Build a Mesh with ('data', 'shard') axes."""
+    n_data, n_shard, devices = device_grid(n_data, n_shard, devices)
+    grid = np.array(devices).reshape(n_data, n_shard)
+    return Mesh(grid, ('data', 'shard'))

@@ -1,0 +1,228 @@
+"""Hash-range-sharded Count-Min sketch over a ('data', 'shard') mesh.
+
+Layout
+------
+- sketch tables ``uint8 [ntables, total_tablesize]`` are sharded on the
+  bucket axis across the 'shard' mesh axis (each device owns one contiguous
+  hash range per table) and replicated across 'data';
+- read batches are sharded on the batch axis across 'data' and replicated
+  across 'shard'.
+
+Collectives
+-----------
+- consume: each device scatter-adds the increments that fall in its hash
+  range, then ``psum`` over 'data' merges the contributions of all read
+  shards (the all-reduce analog of DP gradient sync);
+- query: non-owner shards report a sentinel max count and a ``pmin`` over
+  'shard' selects the owning shard's count.
+
+This replaces the reference's banding scatter/gather (N serial passes +
+unband merge, docs/banding.rst) with a single SPMD pass.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from kevlar_tpu.ops import hashing
+from kevlar_tpu.sketch import MAXCOUNT
+
+
+def _local_consume(tables_local, h1, h2, valid, shard_size, total, ntables,
+                   maxcount):
+    shard_id = lax.axis_index('shard')
+    lo = (shard_id * shard_size).astype(jnp.int32)
+    h1f, h2f, vf = h1.ravel(), h2.ravel(), valid.ravel()
+    rows = []
+    for t in range(ntables):
+        gidx = ((h1f + jnp.uint32(t) * h2f) % jnp.uint32(total)).astype(
+            jnp.int32)
+        lidx = gidx - lo
+        ok = vf & (lidx >= 0) & (lidx < shard_size)
+        # out-of-range -> index shard_size, dropped by scatter mode='drop'
+        lidx_safe = jnp.where(ok, lidx, shard_size)
+        inc = jnp.zeros((shard_size,), jnp.int32).at[lidx_safe].add(
+            ok.astype(jnp.int32), mode='drop')
+        inc = lax.psum(inc, 'data')
+        rows.append(jnp.minimum(tables_local[t].astype(jnp.int32) + inc,
+                                maxcount).astype(jnp.uint8))
+    return jnp.stack(rows)
+
+
+def _local_gather(tables_local, h1, h2, shard_size, total, ntables):
+    """Min-over-tables count with non-owned buckets as sentinel 255."""
+    shard_id = lax.axis_index('shard')
+    lo = (shard_id * shard_size).astype(jnp.int32)
+    counts = None
+    for t in range(ntables):
+        gidx = ((h1 + jnp.uint32(t) * h2) % jnp.uint32(total)).astype(
+            jnp.int32)
+        lidx = gidx - lo
+        ok = (lidx >= 0) & (lidx < shard_size)
+        c = jnp.where(ok,
+                      tables_local[t][jnp.clip(lidx, 0, shard_size - 1)],
+                      jnp.uint8(255))
+        counts = c if counts is None else jnp.minimum(counts, c)
+    return lax.pmin(counts, 'shard')
+
+
+class ShardedSketch:
+    """Count-Min sketch hash-sharded across the 'shard' axis of a mesh."""
+
+    def __init__(self, mesh, ksize, total_tablesize, ntables=4,
+                 counter_bits=8):
+        self.mesh = mesh
+        self._ksize = int(ksize)
+        self.ntables = int(ntables)
+        self.counter_bits = int(counter_bits)
+        self.maxcount = MAXCOUNT[self.counter_bits]
+        n_shard = mesh.shape['shard']
+        total = int(total_tablesize)
+        self.shard_size = -(-total // n_shard)  # ceil
+        self.tablesize = self.shard_size * n_shard  # padded to even shards
+        sharding = NamedSharding(mesh, P(None, 'shard'))
+        self.tables = jax.device_put(
+            jnp.zeros((self.ntables, self.tablesize), dtype=jnp.uint8),
+            sharding)
+
+    def ksize(self):
+        return self._ksize
+
+    def hashsizes(self):
+        return [self.tablesize] * self.ntables
+
+    def _consume_fn(self):
+        mesh = self.mesh
+        ksize = self._ksize
+        shard_size, total = self.shard_size, self.tablesize
+        ntables, maxcount = self.ntables, self.maxcount
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(None, 'shard'), P('data', None)),
+            out_specs=P(None, 'shard'))
+        def consume(tables_local, bases_local):
+            h1, h2, valid = hashing.kmer_hashes(bases_local, ksize)
+            return _local_consume(tables_local, h1, h2, valid, shard_size,
+                                  total, ntables, maxcount)
+        return consume
+
+    def consume_batch(self, bases):
+        """Count a [B, L] base batch; B must divide evenly over 'data'."""
+        bases = self._pad_rows(np.asarray(bases))
+        self.tables = self._consume_fn()(self.tables, bases)
+
+    def _pad_rows(self, bases):
+        n_data = self.mesh.shape['data']
+        B = bases.shape[0]
+        if B % n_data:
+            pad = n_data - B % n_data
+            bases = np.concatenate(
+                [bases, np.full((pad, bases.shape[1]), 4, np.uint8)])
+        return bases
+
+    def query_batch(self, bases):
+        """Counts for every window of a [B, L] batch (gathered to host)."""
+        mesh = self.mesh
+        ksize = self._ksize
+        shard_size, total, ntables = \
+            self.shard_size, self.tablesize, self.ntables
+        bases = self._pad_rows(np.asarray(bases))
+        B = bases.shape[0]
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(None, 'shard'), P('data', None)),
+            out_specs=(P('data', None), P('data', None)))
+        def query(tables_local, bases_local):
+            h1, h2, valid = hashing.kmer_hashes(bases_local, ksize)
+            counts = _local_gather(tables_local, h1, h2, shard_size, total,
+                                   ntables)
+            return jnp.where(valid, counts, jnp.uint8(0)), valid
+
+        counts, valid = query(self.tables, bases)
+        return np.asarray(counts)[:B], np.asarray(valid)[:B]
+
+
+def sharded_novel_screen(mesh, case_sketches, ctrl_sketches, bases, lengths,
+                         casemin, ctrlmax, screen=None):
+    """The full novel screen over sharded sketches, one SPMD program.
+
+    All sketches must share mesh/tablesize/ksize.  Returns host arrays
+    (interesting, abunds, discard, skip) like
+    :func:`kevlar_tpu.ops.novel_ops.novel_screen`.
+    """
+    s0 = case_sketches[0]
+    ksize = s0.ksize()
+    shard_size, total, ntables = s0.shard_size, s0.tablesize, s0.ntables
+    n_case, n_ctrl = len(case_sketches), len(ctrl_sketches)
+
+    bases = np.asarray(bases)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    B = bases.shape[0]
+    n_data = mesh.shape['data']
+    if B % n_data:
+        pad = n_data - B % n_data
+        bases = np.concatenate(
+            [bases, np.full((pad, bases.shape[1]), 4, np.uint8)])
+        lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+
+    table_specs = tuple(P(None, 'shard') for _ in range(n_case + n_ctrl))
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(table_specs, P('data', None), P('data')),
+        out_specs=(P('data', None), P(None, 'data', None), P('data'),
+                   P('data')))
+    def _screen_step(all_tables, bases_local, lengths_local):
+        h1, h2, valid = hashing.kmer_hashes(bases_local, ksize)
+        Bl = bases_local.shape[0]
+
+        bad = (bases_local >= 4).astype(jnp.int32)
+        cumbad = jnp.cumsum(bad, axis=-1)
+        total_bad = jnp.take_along_axis(
+            jnp.concatenate([jnp.zeros((Bl, 1), jnp.int32), cumbad], axis=1),
+            lengths_local.astype(jnp.int32)[:, None], axis=1)[:, 0]
+        skip = (total_bad > 0) | (lengths_local < ksize)
+
+        counts = [
+            _local_gather(t, h1, h2, shard_size, total, ntables)
+            for t in all_tables]
+        case_counts = jnp.stack(counts[:n_case])
+        ctrl_counts = jnp.stack(counts[n_case:]) if n_ctrl else \
+            jnp.zeros((0,) + h1.shape, jnp.uint8)
+
+        below = case_counts < jnp.uint8(casemin)
+        any_below = jnp.any(below, axis=0)
+        if screen is not None:
+            first_fail = jnp.argmax(below, axis=0)
+            fail_abund = jnp.take_along_axis(
+                case_counts, first_fail[None], axis=0)[0]
+            discard_kmer = valid & any_below & \
+                (fail_abund < jnp.uint8(screen))
+            discard = jnp.any(discard_kmer, axis=-1) & ~skip
+        else:
+            discard = jnp.zeros((Bl,), dtype=bool)
+        ctrl_ok = jnp.all(ctrl_counts <= jnp.uint8(ctrlmax), axis=0) \
+            if n_ctrl else jnp.ones_like(any_below)
+        interesting = valid & ~any_below & ctrl_ok & ~skip[:, None]
+        abunds = jnp.concatenate([case_counts, ctrl_counts], axis=0)
+        return interesting, abunds, discard, skip
+
+    all_tables = tuple(s.tables for s in case_sketches) + \
+        tuple(s.tables for s in ctrl_sketches)
+    interesting, abunds, discard, skip = _screen_step(all_tables, bases,
+                                                     lengths)
+    return (np.asarray(interesting)[:B], np.asarray(abunds)[:, :B],
+            np.asarray(discard)[:B], np.asarray(skip)[:B])

@@ -144,10 +144,10 @@ class ReadGraph:
 
         if not read_ids:
             return [{name} for name in names]
-        labels = np.asarray(cc_ops.connected_components_bipartite_jit(
+        labels = np.asarray(cc_ops.connected_components(
             np.array(read_ids, dtype=np.int32),
             np.array(hyper_ids, dtype=np.int32),
-            n_reads=len(names), n_kmers=max(n_hyper, 1)))
+            len(names), max(n_hyper, 1)))
         comps = defaultdict(set)
         for i, name in enumerate(names):
             comps[int(labels[i])].add(name)

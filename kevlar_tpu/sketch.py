@@ -59,10 +59,17 @@ def get_extension(count=False, graph=False, smallcount=False):
 
 
 class Sketch:
-    """Device-resident Count-Min sketch with canonical k-mer hashing."""
+    """Count-Min sketch with canonical k-mer hashing.
+
+    ``backend='device'`` (default) keeps the counters on the accelerator and
+    updates them with jitted scatter kernels — the bulk-counting path.
+    ``backend='host'`` keeps them in numpy — for small control-plane sketches
+    (filter re-counts, call-mask generation) where device dispatch/compile
+    latency would dominate the work.
+    """
 
     def __init__(self, ksize, tablesize, ntables=4, counter_bits=8,
-                 tables=None):
+                 tables=None, backend='device'):
         tablesize = int(tablesize)
         if tablesize < 1:
             raise ValueError('tablesize must be positive')
@@ -71,11 +78,21 @@ class Sketch:
         self.ntables = int(ntables)
         self.counter_bits = int(counter_bits)
         self.maxcount = MAXCOUNT[self.counter_bits]
-        if tables is None:
-            self.tables = jnp.zeros((self.ntables, tablesize), dtype=jnp.uint8)
+        self.backend = backend
+        if backend == 'host':
+            if tables is None:
+                self.tables = np.zeros((self.ntables, tablesize),
+                                       dtype=np.uint8)
+            else:
+                self.tables = np.asarray(tables, dtype=np.uint8)
+            self._host_tables = self.tables
         else:
-            self.tables = jnp.asarray(tables, dtype=jnp.uint8)
-        self._host_tables = None
+            if tables is None:
+                self.tables = jnp.zeros((self.ntables, tablesize),
+                                        dtype=jnp.uint8)
+            else:
+                self.tables = jnp.asarray(tables, dtype=jnp.uint8)
+            self._host_tables = None
 
     # -- khmer-parity introspection ------------------------------------
     def ksize(self):
@@ -85,7 +102,10 @@ class Sketch:
         return [self.tablesize] * self.ntables
 
     def n_occupied(self):
-        return int(sketch_ops.occupancy(self.tables))
+        # host-side count over the lazily-synced mirror: occupancy feeds FPR
+        # logging only, and a dedicated device reduction would cost a jit
+        # compile per CLI process (minutes on remote-compile TPU tunnels)
+        return int(np.count_nonzero(self._host()[0]))
 
     def n_unique_kmers(self):
         """Estimated distinct k-mers via Bloom occupancy inversion.
@@ -106,7 +126,29 @@ class Sketch:
         return self._host_tables
 
     def _invalidate(self):
-        self._host_tables = None
+        if self.backend != 'host':
+            self._host_tables = None
+
+    # -- host-backend counting -------------------------------------------
+    def _host_consume_hashes(self, h1, h2, valid=None):
+        h1 = np.asarray(h1, dtype=np.uint32)
+        h2 = np.asarray(h2, dtype=np.uint32)
+        if valid is not None:
+            keep = np.asarray(valid, dtype=bool).ravel()
+            h1 = h1.ravel()[keep]
+            h2 = h2.ravel()[keep]
+        else:
+            h1 = h1.ravel()
+            h2 = h2.ravel()
+        for t in range(self.ntables):
+            idx = ((h1 + np.uint32(t) * h2) % np.uint32(self.tablesize))
+            inc = np.bincount(idx.astype(np.int64),
+                              minlength=self.tablesize)
+            self.tables[t] = np.minimum(
+                self.tables[t].astype(np.int64) + inc,
+                self.maxcount).astype(np.uint8)
+        self._host_tables = self.tables
+        return len(h1)
 
     # -- hashing helpers ------------------------------------------------
     def hash(self, kmer):
@@ -148,15 +190,39 @@ class Sketch:
         self.consume(kmer)
 
     def consume(self, seq):
-        """Count every k-mer in a sequence string. Returns #k-mers consumed."""
-        bases = dna.encode(seq)[None, :]
-        if bases.shape[1] < self._ksize:
+        """Count every k-mer in a sequence string. Returns #k-mers consumed.
+
+        The sequence is padded to a bucketed length so repeated calls with
+        varying lengths (e.g. mask windows) share one compiled kernel.
+        """
+        if len(seq) < self._ksize:
             return 0
-        return self.consume_batch(jnp.asarray(bases))
+        from kevlar_tpu.batch import bucket_length
+        pad = bucket_length(len(seq))
+        bases = np.full((1, pad), 4, dtype=np.uint8)
+        bases[0, :len(seq)] = dna.encode(seq)
+        return int(self.consume_batch(jnp.asarray(bases)))
 
     def consume_batch(self, bases, numbands=None, band=None, mask=None,
                       mask_threshold=0, consume_masked=False):
-        """Count all k-mers of a padded [B, L] base-code batch on device."""
+        """Count all k-mers of a padded [B, L] base-code batch on device.
+
+        Returns the number of k-mers consumed as a *device* scalar — call
+        ``int()`` on it only when needed, so streaming consume loops don't
+        force a host sync per batch.
+        """
+        if self.backend == 'host':
+            h1, h2, valid = dna.kmer_hashes(np.asarray(bases), self._ksize)
+            if numbands:
+                valid = valid & ((h1 & np.uint32(numbands - 1))
+                                 == np.uint32(band))
+            if mask is not None:
+                mcnt = mask._host_counts(h1, h2)
+                if consume_masked:
+                    valid = valid & (mcnt >= mask_threshold)
+                else:
+                    valid = valid & (mcnt <= mask_threshold)
+            return self._host_consume_hashes(h1, h2, valid)
         mask_tables = mask.tables if mask is not None else None
         self.tables, n = sketch_ops.consume_batch(
             self.tables, jnp.asarray(bases), ksize=self._ksize,
@@ -164,10 +230,12 @@ class Sketch:
             mask_tables=mask_tables, has_mask=mask is not None,
             mask_threshold=mask_threshold, consume_masked=consume_masked)
         self._invalidate()
-        return int(n)
+        return n
 
     def consume_hashes(self, h1, h2, valid=None):
         """Count pre-hashed k-mers (uint32 arrays)."""
+        if self.backend == 'host':
+            return self._host_consume_hashes(h1, h2, valid)
         if valid is None:
             valid = jnp.ones(h1.shape, dtype=bool)
         self.tables, n = sketch_ops.consume_hash_batch(

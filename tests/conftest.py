@@ -3,15 +3,16 @@
 Multi-chip sharding (hash-sharded sketches, data-parallel read batches) is
 exercised on host devices; the driver separately dry-runs the multi-chip path
 and benches on real TPU hardware.
+
+Note: the environment pins JAX_PLATFORMS=axon (the TPU tunnel) via
+sitecustomize, so the platform must be overridden through jax.config before
+the backend initialises — env vars alone are not enough.
 """
 
-import os
+import jax
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 8)
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,86 @@
+"""Multi-device sharded sketch: equivalence with the single-device engine.
+
+Runs on the virtual 8-device CPU mesh (conftest).  The contract: a sketch
+hash-sharded over N devices produces the same counts and the same novel
+screen as the single-device sketch — the SPMD analog of the reference's
+band-merge equivalence tests.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+from kevlar_tpu import dna
+from kevlar_tpu.batch import batches_from_records
+from kevlar_tpu.parallel import make_mesh, ShardedSketch, sharded_novel_screen
+from kevlar_tpu.sketch import Sketch
+
+from . import simdata
+
+KSIZE = 21
+TABLESIZE = 100003
+
+
+@pytest.fixture(scope='module')
+def seqs():
+    rng = random.Random(123)
+    return [simdata.make_genome(rng, 80) for _ in range(32)]
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize('n_data,n_shard', [(1, 8), (2, 4), (8, 1)])
+def test_sharded_counts_match_single_device(seqs, n_data, n_shard):
+    mesh = make_mesh(n_data, n_shard)
+    bases, _ = dna.encode_batch(seqs)
+
+    sharded = ShardedSketch(mesh, KSIZE, TABLESIZE)
+    sharded.consume_batch(bases)
+
+    single = Sketch(KSIZE, sharded.tablesize, 4, counter_bits=8)
+    single.consume_batch(bases)
+
+    counts_sh, valid_sh = sharded.query_batch(bases)
+    h1, h2, valid = dna.kmer_hashes(bases, KSIZE)
+    counts_single = single._host_counts(h1, h2, valid)
+    np.testing.assert_array_equal(counts_sh, counts_single)
+    np.testing.assert_array_equal(valid_sh, valid)
+
+
+def test_sharded_novel_screen_matches_unsharded(seqs):
+    rng = random.Random(321)
+    genome = simdata.make_genome(rng, 1000)
+    child_genome, _, _ = simdata.apply_snv(genome, 500, rng=rng)
+    child = simdata.tiled_reads(child_genome, 100, 10, 'c')
+    parent = simdata.tiled_reads(genome, 100, 10, 'p')
+    cb, _ = dna.encode_batch([r.sequence for r in child])
+    pb, _ = dna.encode_batch([r.sequence for r in parent])
+    lengths = np.full(len(child), 100, np.int32)
+
+    mesh = make_mesh(2, 4)
+    case_sh = ShardedSketch(mesh, KSIZE, TABLESIZE)
+    ctrl_sh = ShardedSketch(mesh, KSIZE, TABLESIZE)
+    case_sh.consume_batch(cb)
+    ctrl_sh.consume_batch(pb)
+
+    interesting, abunds, discard, skip = sharded_novel_screen(
+        mesh, [case_sh], [ctrl_sh], cb, lengths, casemin=6, ctrlmax=0)
+
+    # single-device reference
+    case = Sketch(KSIZE, case_sh.tablesize, 4, counter_bits=8)
+    ctrl = Sketch(KSIZE, ctrl_sh.tablesize, 4, counter_bits=8)
+    case.consume_batch(cb)
+    ctrl.consume_batch(pb)
+    from kevlar_tpu.ops.novel_ops import novel_screen
+    import jax.numpy as jnp
+    ref_int, ref_ab, ref_disc, ref_skip = novel_screen(
+        (case.tables,), (ctrl.tables,), jnp.asarray(cb),
+        jnp.asarray(lengths), ksize=KSIZE, casemin=6, ctrlmax=0)
+    np.testing.assert_array_equal(interesting, np.asarray(ref_int))
+    np.testing.assert_array_equal(abunds, np.asarray(ref_ab))
+    np.testing.assert_array_equal(skip, np.asarray(ref_skip))
