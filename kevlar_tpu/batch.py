@@ -72,6 +72,27 @@ def batches_from_records(recordstream, batch_size=DEFAULT_BATCH_SIZE,
             yield ReadBatch(pending[b], pad_to=b, pad_rows=batch_size)
 
 
+def native_base_batches(path, batch_size=DEFAULT_BATCH_SIZE, max_len=1024):
+    """Stream fixed-shape [batch_size, bucket] base batches via the native
+    parser (no per-read Python objects).  The column bucket adapts to the
+    longest read seen so far (never shrinks), keeping the number of compiled
+    kernel shapes small.  Falls back by raising ImportError when the native
+    library is unavailable.
+    """
+    from kevlar_tpu import native
+    reader = native.FastxBatchReader(path, max_reads=batch_size,
+                                     max_len=max_len)
+    bucket = 0
+    for out in reader:
+        bases, lengths = out[0], out[1]
+        maxlen = int(lengths.max()) if len(lengths) else 0
+        bucket = max(bucket, bucket_length(maxlen))
+        view = bases[:, :bucket]
+        if view.shape[0] < batch_size:
+            view = pad_batch_rows(view, batch_size)
+        yield np.ascontiguousarray(view), lengths
+
+
 def pad_batch_rows(bases, batch_size):
     """Pad the batch (row) dimension up to `batch_size` with invalid bases."""
     B, L = bases.shape

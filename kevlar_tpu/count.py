@@ -22,15 +22,30 @@ from kevlar_tpu.sketch import (
 def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
                     maskmaxabund=0, numbands=None, band=None,
                     batch_size=DEFAULT_BATCH_SIZE):
-    """Count all k-mers in the given FASTA/FASTQ files into `sketch`."""
+    """Count all k-mers in the given FASTA/FASTQ files into `sketch`.
+
+    Uses the native C++ batch parser when built (reads marshalled straight
+    into padded device batches); falls back to the Python parser.
+    """
+    from kevlar_tpu.batch import native_base_batches
     numreads = 0
     threshold = 1 if consume_masked else maskmaxabund
-    stream = seqio.multi_file_iter(seqfiles)
-    for batch in batches_from_records(stream, batch_size=batch_size):
+
+    def consume(bases, nreads):
+        nonlocal numreads
         sketch.consume_batch(
-            batch.bases, numbands=numbands, band=band, mask=mask,
+            bases, numbands=numbands, band=band, mask=mask,
             mask_threshold=threshold, consume_masked=consume_masked)
-        numreads += len(batch)
+        numreads += nreads
+
+    for seqfile in seqfiles:
+        try:
+            for bases, lengths in native_base_batches(seqfile, batch_size):
+                consume(bases, len(lengths))
+        except ImportError:
+            stream = seqio.multi_file_iter([seqfile])
+            for batch in batches_from_records(stream, batch_size=batch_size):
+                consume(batch.bases, len(batch))
     return numreads
 
 

@@ -56,7 +56,7 @@ def load(auto_build=True):
     lib.kt_fastx_next_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
-        ctypes.c_char_p, ctypes.c_int]
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p]
     lib.kt_fastx_close.argtypes = [ctypes.c_void_p]
     lib.kt_align.restype = ctypes.c_int
     lib.kt_align.argtypes = [
@@ -82,7 +82,7 @@ def available():
 class FastxBatchReader:
     """Stream [max_reads, max_len] padded base batches from a FASTX file."""
 
-    def __init__(self, path, max_reads=4096, max_len=1024):
+    def __init__(self, path, max_reads=4096, max_len=1024, want_quals=False):
         lib = load()
         if lib is None:
             raise ImportError('native library unavailable')
@@ -92,6 +92,7 @@ class FastxBatchReader:
             raise IOError('cannot open ' + path)
         self.max_reads = max_reads
         self.max_len = max_len
+        self.want_quals = want_quals
 
     def __iter__(self):
         return self
@@ -101,19 +102,27 @@ class FastxBatchReader:
         lengths = np.zeros(self.max_reads, dtype=np.int32)
         names_cap = self.max_reads * 256
         names = ctypes.create_string_buffer(names_cap)
+        quals = None
+        qbuf = None
+        if self.want_quals:
+            qbuf = ctypes.create_string_buffer(self.max_reads * self.max_len)
         n = self._lib.kt_fastx_next_batch(
             self._handle, self.max_reads, self.max_len,
             bases.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            names, names_cap)
+            names, names_cap, qbuf)
         if n < 0:
             raise IOError('parse error in FASTX input')
         if n == 0:
             self.close()
             raise StopIteration
         namelist = names.raw.split(b'\0')[:n]
+        if qbuf is not None:
+            qarr = np.frombuffer(qbuf.raw, dtype=np.uint8).reshape(
+                self.max_reads, self.max_len)
+            quals = qarr[:n]
         return (bases[:n], lengths[:n],
-                [s.decode('ascii', 'replace') for s in namelist])
+                [s.decode('ascii', 'replace') for s in namelist], quals)
 
     def close(self):
         if self._handle:

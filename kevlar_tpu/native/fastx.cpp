@@ -10,7 +10,9 @@
 //   void* kt_fastx_open(const char* path);
 //   int   kt_fastx_next_batch(void* h, int max_reads, int max_len,
 //                             uint8_t* bases, int32_t* lengths,
-//                             char* names, int names_cap);
+//                             char* names, int names_cap, char* quals);
+//       quals may be NULL; otherwise a [max_reads, max_len] row-major char
+//       array receiving quality strings (FASTQ only).
 //       returns #reads parsed (0 at EOF, -1 on error); bases is a
 //       [max_reads, max_len] row-major array pre-filled by the callee with
 //       the invalid code 4; names are nul-separated.
@@ -90,18 +92,20 @@ void kt_fastx_close(void *h) {
 }
 
 int kt_fastx_next_batch(void *h, int max_reads, int max_len, uint8_t *bases,
-                        int32_t *lengths, char *names, int names_cap) {
+                        int32_t *lengths, char *names, int names_cap,
+                        char *quals) {
     auto *r = static_cast<FastxReader *>(h);
     if (!r) return -1;
     int n = 0;
     int names_used = 0;
-    std::string line, seq, name;
+    std::string line, seq, name, qual;
     while (n < max_reads && r->getline(line)) {
         if (line.empty()) continue;
+        qual.clear();
         if (line[0] == '@') {          // FASTQ
             name = line.substr(1);
             if (!r->getline(seq)) return -1;
-            std::string plus, qual;
+            std::string plus;
             if (!r->getline(plus)) return -1;   // '+'
             if (!r->getline(qual)) return -1;   // quality (len == seq)
         } else if (line[0] == '>') {   // FASTA (possibly multi-line)
@@ -123,6 +127,12 @@ int kt_fastx_next_batch(void *h, int max_reads, int max_len, uint8_t *bases,
         uint8_t *row = bases + (size_t)n * max_len;
         for (int i = 0; i < L; ++i) row[i] = g_code[(uint8_t)seq[i]];
         lengths[n] = L;
+        if (quals) {
+            char *qrow = quals + (size_t)n * max_len;
+            int QL = (int)qual.size() < L ? (int)qual.size() : L;
+            std::memcpy(qrow, qual.data(), QL);
+            for (int i = QL; i < max_len; ++i) qrow[i] = 0;
+        }
         int need = (int)name.size() + 1;
         if (names_used + need <= names_cap) {
             std::memcpy(names + names_used, name.c_str(), need);

@@ -1,0 +1,93 @@
+"""Seed-index localization: exact matching, clustering, cutouts."""
+
+import random
+
+import pytest
+
+import kevlar_tpu
+from kevlar_tpu import localize as localize_mod
+from kevlar_tpu.reference import SeedIndex, ReferenceCutout
+from kevlar_tpu.sequence import Record
+
+from . import simdata
+
+
+@pytest.fixture(scope='module')
+def genome():
+    rng = random.Random(1717)
+    return simdata.make_genome(rng, 8000)
+
+
+def test_seed_index_exact_matches(genome):
+    index = SeedIndex({'chr1': genome}, seedsize=51)
+    seed = kevlar_tpu.revcommin(genome[1000:1051])
+    matches = index.lookup({seed})
+    assert matches[seed] == {('chr1', 1000)}
+    # reverse-complement form matches the same position
+    rcseed = kevlar_tpu.revcommin(kevlar_tpu.dna.revcom(genome[1000:1051]))
+    assert rcseed == seed
+
+
+def test_seed_index_no_match_for_novel(genome):
+    index = SeedIndex({'chr1': genome}, seedsize=51)
+    alien = kevlar_tpu.revcommin('TGCA' * 13)[:51]
+    # k-mer not in the genome: no hits (or, astronomically unlikely, a hit)
+    assert index.lookup({alien}) == {}
+
+
+def test_seed_index_multicopy(genome):
+    dup = genome[:3000] + genome[500:560] + genome[3000:]
+    index = SeedIndex({'chr1': dup}, seedsize=51)
+    seed = kevlar_tpu.revcommin(dup[505:556])
+    matches = index.lookup({seed})
+    assert len(matches[seed]) == 2
+
+
+def test_localize_produces_cutout(genome, tmp_path):
+    refrfile = str(tmp_path / 'refr.fa')
+    simdata.write_fasta({'chr1': genome}, refrfile)
+    contig = Record(name='contig1', sequence=genome[2000:2300])
+    stream = [('1', [contig])]
+    results = list(localize_mod.localize(stream, refrfile, seedsize=51,
+                                         delta=50))
+    assert len(results) == 1
+    partid, gdna = results[0]
+    assert partid == '1'
+    seqid, start, end = gdna.interval
+    assert seqid == 'chr1'
+    assert start == 2000 - 50
+    assert end == 2300 + 50
+    assert gdna.sequence == genome[start:end]
+
+
+def test_localize_cluster_split(genome, tmp_path):
+    """Seeds matching two distant loci produce two cutouts."""
+    refrfile = str(tmp_path / 'refr.fa')
+    simdata.write_fasta({'chr1': genome}, refrfile)
+    chimera = genome[1000:1100] + genome[6000:6100]
+    contig = Record(name='contig1', sequence=chimera)
+    results = list(localize_mod.localize([('1', [contig])], refrfile,
+                                         seedsize=51, delta=10, maxdiff=500))
+    assert len(results) == 2
+    intervals = sorted(g.interval for _, g in results)
+    assert intervals[0][1] == 990
+    assert intervals[1][1] >= 5990 - 10
+
+
+def test_localize_include_exclude(genome, tmp_path):
+    refrfile = str(tmp_path / 'refr.fa')
+    simdata.write_fasta({'chr1': genome, 'chrDecoy': genome}, refrfile)
+    contig = Record(name='contig1', sequence=genome[2000:2300])
+    results = list(localize_mod.localize(
+        [('1', [contig])], refrfile, seedsize=51, exclpattern='Decoy'))
+    assert {g.interval[0] for _, g in results} == {'chr1'}
+    results = list(localize_mod.localize(
+        [('1', [contig])], refrfile, seedsize=51, inclpattern='Decoy'))
+    assert {g.interval[0] for _, g in results} == {'chrDecoy'}
+
+
+def test_cutout_defline_roundtrip():
+    cut = ReferenceCutout('chr7_1000-1500', 'A' * 500)
+    assert cut.interval == ('chr7', 1000, 1500)
+    assert cut.local_to_global(42) == 1042
+    assert len(cut) == 500
