@@ -1,0 +1,209 @@
+"""End-to-end trio workflow driver: the mark-I pipeline without Snakemake.
+
+The reference orchestrates the full simplex workflow as a Snakemake DAG of
+CLI invocations communicating through files
+(/root/reference/kevlar/workflows/mark-I/Snakefile: create_mask ->
+count_reference -> count case/controls (masked) -> novel -> filter ->
+partition -> split -> assemble xN -> localize -> call xN -> varfilter ->
+simlike).  Here the same pipeline runs as one in-process driver — no
+process-per-stage, one JAX runtime, scatter/gather handled by batching
+instead of file shards.  Stage outputs are still written to the working
+directory as resumable checkpoints (sketches, augfastx, VCF), matching the
+reference's checkpoint/resume model (SURVEY.md §5).
+
+Config (JSON) mirrors the reference's mark-I config.json vocabulary::
+
+    {
+      "ksize": 31,
+      "outdir": "out",
+      "reference": {"fasta": "refr.fa"},
+      "contaminants": {"fasta": null},
+      "case": {"fastx": ["proband.fq"], "label": "Case", "memory": "8M",
+               "max_fpr": 0.6},
+      "controls": [
+        {"fastx": ["mother.fq"], "label": "Mother", "memory": "8M",
+         "max_fpr": 0.05},
+        {"fastx": ["father.fq"], "label": "Father", "memory": "8M",
+         "max_fpr": 0.05}
+      ],
+      "mask": {"memory": "4M", "max_fpr": 0.01},
+      "novel": {"case_min": 6, "ctrl_max": 1},
+      "localize": {"seed_size": 51, "delta": 50, "blind": false},
+      "varfilter": null,
+      "simlike": {"mu": 30.0, "sigma": 8.0, "epsilon": 0.001}
+    }
+"""
+
+import json
+import os
+
+import kevlar_tpu
+from kevlar_tpu.cli import memory_setting
+
+
+def _mem(value, default):
+    if value is None:
+        return default
+    return memory_setting(value)
+
+
+def run_mark1(config, logstream=None):
+    """Run the full trio workflow; returns the final VCF path."""
+    from kevlar_tpu import count as count_mod
+    from kevlar_tpu import novel as novel_mod
+    from kevlar_tpu import filter as filter_mod
+    from kevlar_tpu import partition as partition_mod
+    from kevlar_tpu import alac as alac_mod
+    from kevlar_tpu import varfilter as varfilter_mod
+    from kevlar_tpu import simlike as simlike_mod
+    from kevlar_tpu import seqio, sketch as sketch_mod, vcf as vcf_mod
+
+    ksize = config.get('ksize', 31)
+    outdir = config.get('outdir', '.')
+    os.makedirs(outdir, exist_ok=True)
+
+    def path(name):
+        return os.path.join(outdir, name)
+
+    timer = kevlar_tpu.Timer()
+    timer.start()
+
+    # -- step 0: reference mask (1-bit) + reference counts (4-bit) --------
+    refrfile = config['reference']['fasta']
+    kevlar_tpu.plog('[workflow] creating reference mask')
+    maskmem = _mem(config.get('mask', {}).get('memory'), 4e6)
+    maskfiles = [refrfile]
+    contam = config.get('contaminants') or {}
+    if contam.get('fasta'):
+        maskfiles.append(contam['fasta'])
+    mask = count_mod.load_sample_seqfile(
+        maskfiles, ksize, maskmem,
+        maxfpr=config.get('mask', {}).get('max_fpr', 0.01),
+        count=False)
+    mask.save(path('mask.nt'))
+
+    kevlar_tpu.plog('[workflow] counting reference genome k-mers')
+    refr_counts = count_mod.load_sample_seqfile(
+        [refrfile], ksize, maskmem, maxfpr=1.0, count=True, smallcount=True,
+        outfile=path('refr.sct'))
+
+    # -- step 1: per-sample masked counting -------------------------------
+    case_cfg = config['case']
+    ctrl_cfgs = config.get('controls', [])
+    kevlar_tpu.plog('[workflow] counting case sample')
+    case_counts = count_mod.load_sample_seqfile(
+        case_cfg['fastx'], ksize, _mem(case_cfg.get('memory'), 1e6),
+        maxfpr=case_cfg.get('max_fpr', 0.6), mask=mask,
+        outfile=path('case.ct'))
+    ctrl_counts = []
+    for i, ctrl in enumerate(ctrl_cfgs):
+        kevlar_tpu.plog('[workflow] counting control sample', i)
+        ctrl_counts.append(count_mod.load_sample_seqfile(
+            ctrl['fastx'], ksize, _mem(ctrl.get('memory'), 1e6),
+            maxfpr=ctrl.get('max_fpr', 0.05), mask=mask,
+            outfile=path('control{}.ct'.format(i))))
+
+    # -- step 2: novel k-mer screen ---------------------------------------
+    kevlar_tpu.plog('[workflow] novel k-mer screen')
+    novel_cfg = config.get('novel', {})
+    casemin = novel_cfg.get('case_min', 6)
+    ctrlmax = novel_cfg.get('ctrl_max', 1)
+    caserecords = seqio.multi_file_iter(case_cfg['fastx'])
+    novelfile = path('novel.augfastq.gz')
+    with kevlar_tpu.open(novelfile, 'w') as fh:
+        for record in novel_mod.novel(caserecords, [case_counts], ctrl_counts,
+                                      ksize=ksize, casemin=casemin,
+                                      ctrlmax=ctrlmax):
+            kevlar_tpu.print_augmented_fastx(record, fh)
+
+    # -- step 3: filter (recount against the reference mask) --------------
+    kevlar_tpu.plog('[workflow] filtering novel reads')
+    filteredfile = path('filtered.augfastq.gz')
+    with kevlar_tpu.open(filteredfile, 'w') as fh:
+        for record in filter_mod.filter(novelfile, mask=mask,
+                                        casemin=casemin, ctrlmax=ctrlmax):
+            kevlar_tpu.print_augmented_fastx(record, fh)
+
+    # -- step 4: partition -------------------------------------------------
+    kevlar_tpu.plog('[workflow] partitioning reads')
+    reader = kevlar_tpu.parse_augmented_fastx(
+        kevlar_tpu.open(filteredfile, 'r'))
+    partfile = path('partitioned.augfastq.gz')
+    pstream = partition_mod.partition(reader, minabund=2, maxabund=200)
+    with kevlar_tpu.open(partfile, 'w') as fh:
+        for partid, reads in pstream:
+            for read in reads:
+                kevlar_tpu.print_augmented_fastx(read, fh)
+
+    # -- step 5: assemble + localize + call (fused) ------------------------
+    kevlar_tpu.plog('[workflow] assemble/localize/align/call')
+    loc = config.get('localize', {})
+    reader = kevlar_tpu.parse_augmented_fastx(kevlar_tpu.open(partfile, 'r'))
+    pstream = seqio.parse_partitioned_reads(reader)
+    prelimfile = path('calls.prelim.vcf')
+    calls = alac_mod.alac(
+        pstream, refrfile, ksize=ksize,
+        seedsize=loc.get('seed_size', 51), delta=loc.get('delta', 50),
+        maskfile=path('callmask.nt'))
+    with kevlar_tpu.open(prelimfile, 'w') as fh:
+        writer = vcf_mod.VCFWriter(fh, source='kevlar_tpu::workflow',
+                                   refr=refrfile)
+        writer.write_header()
+        for call in calls:
+            writer.write(call)
+
+    # -- step 6: optional varfilter ----------------------------------------
+    vcf_for_scoring = prelimfile
+    if config.get('varfilter'):
+        kevlar_tpu.plog('[workflow] applying user region filter')
+        filtvcf = path('calls.filtered.vcf')
+        reader = vcf_mod.vcfstream([prelimfile])
+        beds = kevlar_tpu.parse_bed(
+            kevlar_tpu.open(config['varfilter'], 'r'))
+        with kevlar_tpu.open(filtvcf, 'w') as fh:
+            writer = vcf_mod.VCFWriter(fh, source='kevlar_tpu::workflow')
+            writer.write_header()
+            for call in varfilter_mod.varfilter(reader, beds):
+                writer.write(call)
+        vcf_for_scoring = filtvcf
+
+    # -- step 7: likelihood scoring ----------------------------------------
+    kevlar_tpu.plog('[workflow] scoring calls (simlike)')
+    sim = config.get('simlike', {})
+    labels = [case_cfg.get('label', 'Case')] + \
+        [c.get('label', 'Control{}'.format(i))
+         for i, c in enumerate(ctrl_cfgs)]
+    finalfile = path('calls.scored.sorted.vcf.gz')
+    reader = vcf_mod.vcfstream([vcf_for_scoring])
+    with kevlar_tpu.open(finalfile, 'w') as fh:
+        writer = vcf_mod.VCFWriter(fh, source='kevlar_tpu::workflow')
+        for label in labels:
+            writer.register_sample(label)
+        writer.write_header()
+        for call in simlike_mod.simlike(
+                reader, case_counts, ctrl_counts, refr_counts,
+                mu=sim.get('mu', 30.0), sigma=sim.get('sigma', 8.0),
+                epsilon=sim.get('epsilon', 0.001), casemin=casemin,
+                ctrlmax=ctrlmax, samplelabels=labels):
+            writer.write(call)
+
+    total = timer.stop()
+    kevlar_tpu.plog('[workflow] complete in {:.1f}s; final calls in'.format(
+        total), finalfile)
+    return finalfile
+
+
+def main(argv=None):
+    import argparse
+    parser = argparse.ArgumentParser(
+        description='Run the full kevlar-tpu trio workflow from a JSON '
+        'config (the mark-I pipeline).')
+    parser.add_argument('config', help='JSON workflow configuration')
+    args = parser.parse_args(argv)
+    with open(args.config) as fh:
+        config = json.load(fh)
+    run_mark1(config)
+
+
+if __name__ == '__main__':
+    main()
