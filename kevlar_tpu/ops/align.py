@@ -251,8 +251,19 @@ def align_numpy(target, query, match=1, mismatch=2, gapopen=5, gapextend=0):
     return _backtrack(z, tlen, qlen), score
 
 
-# default: the wavefront implementation
-align = align_numpy
+def _pick_default():
+    """Prefer the native C++ aligner (same exact semantics) when built."""
+    try:
+        from kevlar_tpu import native
+        if native.available():
+            return native.align
+    except Exception:
+        pass
+    return align_numpy
+
+
+# default host path: native if built, else the numpy wavefront
+align = _pick_default()
 
 
 def align_both_strands(target_seq, query_seq, match=1, mismatch=2, gapopen=5,

@@ -1,0 +1,127 @@
+"""Batched anti-diagonal wavefront aligner for TPU (vmapped lax.scan).
+
+Computes the exact ksw_extz DP (same cell arithmetic/tie-breaking as
+:mod:`kevlar_tpu.ops.align`) for a batch of (target, query) pairs padded to
+a common (T, Q).  Each anti-diagonal d = i + j is one scan step over a
+width-T vector; the direction bytes come back as a [ndiag, T] array per pair
+(``z[i, j] == zdiag[i + j, i]``) and the backtrack runs on the host.
+
+This is the device path for call-stage scale (thousands of contig x cutout
+pairs); the native C++ scalar aligner covers the host path.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kevlar_tpu.ops.align import NEG_INF, _backtrack, score_matrix
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('T', 'Q', 'match', 'mismatch', 'gapopen', 'gapextend'))
+def _align_wavefront_batch(targets, tlens, queries, qlens, T, Q, match=1,
+                           mismatch=2, gapopen=5, gapextend=0):
+    """targets [B,T] uint8, queries [B,Q] uint8 -> (scores [B],
+    zdiag [B, T+Q-1, T] uint8)."""
+    mat = jnp.asarray(score_matrix(match, mismatch), dtype=jnp.int32)
+    gapoe = gapopen + gapextend
+    gape = gapextend
+    ndiag = T + Q - 1
+    ii = jnp.arange(T, dtype=jnp.int32)
+
+    def one_with_score(target, tlen, query, qlen):
+        sub = mat[jnp.minimum(target, 4)][:, jnp.minimum(query, 4)]
+
+        def h_col(j):
+            return jnp.where(j >= 1, -(gapoe + gape * (j - 1)), 0)
+
+        def body(carry, d):
+            H_prev, H_prev2, E_prev, F_prev, score = carry
+            jj = d - ii
+            inbounds = (ii < tlen) & (jj >= 0) & (jj < qlen)
+            hd = jnp.where(ii >= 1, jnp.roll(H_prev2, 1), jnp.int32(NEG_INF))
+            hd = jnp.where((ii == 0) & (jj >= 1), h_col(jj), hd)
+            hd = jnp.where((jj == 0) & (ii >= 1),
+                           -(gapoe + gape * (ii - 1)), hd)
+            hd = jnp.where((ii == 0) & (jj == 0), 0, hd)
+            e = jnp.maximum(jnp.roll(E_prev, 1) - gape,
+                            jnp.roll(H_prev, 1) - gapoe)
+            e = jnp.where(ii == 0, -(gapoe + gapoe + gape * jj), e)
+            f = jnp.maximum(F_prev - gape, H_prev - gapoe)
+            f = jnp.where(jj == 0, -(gapoe + gapoe + gape * ii), f)
+            hdiag = hd + sub[ii, jnp.clip(jj, 0, Q - 1)]
+            d0 = jnp.where(hdiag >= e, jnp.uint8(0), jnp.uint8(1))
+            h = jnp.maximum(hdiag, e)
+            d0 = jnp.where(h >= f, d0, jnp.uint8(2))
+            h = jnp.maximum(h, f)
+            hh = h - gapoe
+            d0 = d0 | (((e - gape) > hh).astype(jnp.uint8) << 3)
+            d0 = d0 | (((f - gape) > hh).astype(jnp.uint8) << 4)
+            d0 = jnp.where(inbounds, d0, jnp.uint8(0))
+            h = jnp.where(inbounds, h, jnp.int32(NEG_INF))
+            e = jnp.where(inbounds, e, jnp.int32(NEG_INF))
+            f = jnp.where(inbounds, f, jnp.int32(NEG_INF))
+            # capture the final cell's H
+            is_final = (ii == (tlen - 1)) & (jj == (qlen - 1))
+            score = jnp.where(jnp.any(is_final),
+                              jnp.max(jnp.where(is_final, h,
+                                                jnp.int32(NEG_INF))),
+                              score)
+            return (h, H_prev, e, f, score), d0
+
+        init = (jnp.full((T,), NEG_INF, jnp.int32),
+                jnp.full((T,), NEG_INF, jnp.int32),
+                jnp.full((T,), NEG_INF, jnp.int32),
+                jnp.full((T,), NEG_INF, jnp.int32),
+                jnp.int32(NEG_INF))
+        (_, _, _, _, score), zdiag = jax.lax.scan(
+            body, init, jnp.arange(ndiag, dtype=jnp.int32))
+        return score, zdiag
+
+    scores, zdiags = jax.vmap(one_with_score)(targets, tlens, queries, qlens)
+    return scores, zdiags
+
+
+def align_batch(target_seqs, query_seqs, match=1, mismatch=2, gapopen=5,
+                gapextend=0):
+    """Align many (target, query) string pairs on device; returns
+    [(cigar, score), ...] with exact ksw2 semantics.
+
+    Pairs are padded to shared (T, Q) buckets; backtrack runs on the host
+    from the returned direction diagonals.
+    """
+    from kevlar_tpu import dna
+
+    def bucket(n):
+        b = 64
+        while b < n:
+            b *= 2
+        return b
+
+    B = len(target_seqs)
+    assert len(query_seqs) == B
+    T = bucket(max((len(t) for t in target_seqs), default=1))
+    Q = bucket(max((len(q) for q in query_seqs), default=1))
+    targets, tlens = dna.encode_batch(list(target_seqs), pad_to=T)
+    queries, qlens = dna.encode_batch(list(query_seqs), pad_to=Q)
+
+    scores, zdiags = _align_wavefront_batch(
+        jnp.asarray(targets), jnp.asarray(tlens), jnp.asarray(queries),
+        jnp.asarray(qlens), T=T, Q=Q, match=match, mismatch=mismatch,
+        gapopen=gapopen, gapextend=gapextend)
+    scores = np.asarray(scores)
+    zdiags = np.asarray(zdiags)
+
+    results = []
+    for b in range(B):
+        tlen, qlen = int(tlens[b]), int(qlens[b])
+        # z[i, j] = zdiag[i + j, i]
+        z = np.zeros((tlen, qlen), dtype=np.uint8)
+        i_idx, j_idx = np.meshgrid(np.arange(tlen), np.arange(qlen),
+                                   indexing='ij')
+        z[i_idx, j_idx] = zdiags[b][i_idx + j_idx, i_idx]
+        results.append((_backtrack(z, tlen, qlen), int(scores[b])))
+    return results
