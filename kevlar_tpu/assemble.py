@@ -103,15 +103,18 @@ def greedy_asm(records):
             yield rec.sequence
 
 
-def fml_asm(records):
+def fml_asm(records, min_overlap=45):
     """Assembler entry point (name kept for parity with the reference's
-    fermi-lite bridge).  Uses the native C++ assembler when available,
-    falling back to the greedy overlap merger."""
+    fermi-lite bridge).  Uses the native C++ overlap assembler when built,
+    falling back to the annotation-anchored greedy merger."""
     try:
-        from kevlar_tpu.native import asm as native_asm
-        yield from native_asm.assemble(records)
+        from kevlar_tpu import native
+        if native.available():
+            yield from native.assemble(records, min_overlap=min_overlap)
+            return
     except ImportError:
-        yield from greedy_asm(records)
+        pass
+    yield from greedy_asm(records)
 
 
 def assemble_fml_asm(partition, logstream=None):
