@@ -24,7 +24,7 @@ import numpy as np
 KSIZE = 31
 READLEN = 150
 PADLEN = 160
-BATCH = 4096
+BATCH = 8192
 GENOME_LEN = 200_000
 COVERAGE = 30
 TABLESIZE = 2_000_003
@@ -83,13 +83,15 @@ def device_pipeline(case_reads, ctrl_reads_list):
             sk.consume_batch(chunk)
     case_tables = (sketches[0].tables,)
     ctrl_tables = tuple(s.tables for s in sketches[1:])
-    n_interesting = 0
+    # accumulate the interesting-k-mer count on device; sync once at the end
+    n_interesting = jnp.zeros((), jnp.int32)
     for chunk in batches(case_reads):
         interesting, abunds, discard, skip = novel_ops.novel_screen(
             case_tables, ctrl_tables, jnp.asarray(chunk), lengths,
             ksize=KSIZE, casemin=CASEMIN, ctrlmax=CTRLMAX)
-        n_interesting += int(jnp.sum(interesting))
-    jax.block_until_ready(case_tables[0])
+        n_interesting = n_interesting + jnp.sum(interesting,
+                                                dtype=jnp.int32)
+    n_interesting = int(n_interesting)
     elapsed = time.time() - t0
     return elapsed, n_interesting
 
