@@ -1,0 +1,210 @@
+"""Pallas TPU kernel for the batched wavefront aligner.
+
+Same exact ksw_extz DP as :mod:`kevlar_tpu.ops.align_ops`, but with the
+wavefront state held in VMEM scratch and one grid step per alignment pair.
+The per-diagonal substitution scores are computed without any in-kernel
+gather: the query is pre-reversed into a padded buffer so the diagonal's
+query bases ``query[d - i]`` are one contiguous dynamic slice.
+
+``align_batch_pallas`` has the same contract as ``align_ops.align_batch``
+and is validated bit-identical against the scalar reference (interpret mode
+off-TPU).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kevlar_tpu.ops.align import NEG_INF, _backtrack
+
+
+def _kernel_factory(T, Q, match, mismatch, gapoe, gape):
+    ndiag = T + Q - 1
+    K = T + Q - 1  # qr buffer offset: qrbuf[y] = qext[K - y]
+    a = int(match)
+    b = int(mismatch if mismatch < 0 else -mismatch)
+
+    def kernel(tlen_ref, qlen_ref, target_ref, qrbuf_ref, score_ref,
+               zdiag_ref, h_prev, h_prev2, e_prev, f_prev):
+        tlen = tlen_ref[0]
+        qlen = qlen_ref[0]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        tcodes = target_ref[:].astype(jnp.int32)
+
+        neg = jnp.full((1, T), NEG_INF, jnp.int32)
+        h_prev[:] = neg
+        h_prev2[:] = neg
+        e_prev[:] = neg
+        f_prev[:] = neg
+        score_ref[0] = NEG_INF
+
+        def shift1(v):
+            """v[i] -> v[i-1], with NEG_INF entering at i == 0."""
+            rolled = pltpu.roll(v, 1, axis=1)
+            return jnp.where(ii == 0, jnp.int32(NEG_INF), rolled)
+
+        def body(d, _):
+            jj = d - ii
+            inbounds = (ii < tlen) & (jj >= 0) & (jj < qlen)
+
+            H_prev = h_prev[:]
+            H_prev2 = h_prev2[:]
+            E_prev = e_prev[:]
+            F_prev = f_prev[:]
+
+            hd = shift1(H_prev2)
+            hcol = jnp.where(jj >= 1, -(gapoe + gape * (jj - 1)), 0)
+            hd = jnp.where((ii == 0) & (jj >= 1), hcol, hd)
+            hd = jnp.where((jj == 0) & (ii >= 1),
+                           -(gapoe + gape * (ii - 1)), hd)
+            hd = jnp.where((ii == 0) & (jj == 0), 0, hd)
+
+            e = jnp.maximum(shift1(E_prev) - gape, shift1(H_prev) - gapoe)
+            e = jnp.where(ii == 0, -(gapoe + gapoe + gape * jj), e)
+            f = jnp.maximum(F_prev - gape, H_prev - gapoe)
+            f = jnp.where(jj == 0, -(gapoe + gapoe + gape * ii), f)
+
+            # qd[i] = query[d - i] via one contiguous slice of the
+            # reversed+padded query buffer (qrbuf[y] = qext[K - y])
+            qd = qrbuf_ref[:, pl.ds(K - d, T)].astype(jnp.int32)
+            sub_diag = jnp.where(
+                (tcodes >= 4) | (qd >= 4), 0,
+                jnp.where(tcodes == qd, a, b)).astype(jnp.int32)
+
+            hdiag = hd + sub_diag
+            d0 = jnp.where(hdiag >= e, jnp.uint8(0), jnp.uint8(1))
+            h = jnp.maximum(hdiag, e)
+            d0 = jnp.where(h >= f, d0, jnp.uint8(2))
+            h = jnp.maximum(h, f)
+            hh = h - gapoe
+            d0 = d0 | (((e - gape) > hh).astype(jnp.uint8) << 3)
+            d0 = d0 | (((f - gape) > hh).astype(jnp.uint8) << 4)
+            d0 = jnp.where(inbounds, d0, jnp.uint8(0))
+
+            h = jnp.where(inbounds, h, jnp.int32(NEG_INF))
+            e = jnp.where(inbounds, e, jnp.int32(NEG_INF))
+            f = jnp.where(inbounds, f, jnp.int32(NEG_INF))
+
+            zdiag_ref[d, :] = d0.reshape(T)
+
+            is_final = (ii == (tlen - 1)) & (jj == (qlen - 1))
+            final_h = jnp.max(jnp.where(is_final, h, jnp.int32(NEG_INF)))
+
+            @pl.when(d == (tlen + qlen - 2))
+            def _():
+                score_ref[0] = final_h
+
+            h_prev2[:] = H_prev
+            h_prev[:] = h
+            e_prev[:] = e
+            f_prev[:] = f
+            return 0
+
+        jax.lax.fori_loop(0, ndiag, body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('T', 'Q', 'match', 'mismatch', 'gapopen', 'gapextend',
+                     'interpret'))
+def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
+                        mismatch=2, gapopen=5, gapextend=0, interpret=False):
+    B = targets.shape[0]
+    ndiag = T + Q - 1
+    gapoe = gapopen + gapextend
+    K = T + Q - 1
+
+    # qrbuf[b, y] = qext[b, K - y], qext = query padded with 4 outside [0, Q)
+    y = np.arange(2 * T + Q - 1)
+    src = K - y
+    valid = (src >= 0) & (src < Q)
+    src_clip = jnp.asarray(np.clip(src, 0, Q - 1))
+    qrbuf = jnp.where(jnp.asarray(valid)[None, :],
+                      queries[:, src_clip], jnp.uint8(4))
+
+    kernel = _kernel_factory(T, Q, match, mismatch, gapoe, gapextend)
+
+    def wrapped(tlens_ref, qlens_ref, target_ref, qrbuf_ref, score_ref,
+                zdiag_ref, *scratch):
+        b = pl.program_id(0)
+        kernel(tlens_ref.at[pl.ds(b, 1)], qlens_ref.at[pl.ds(b, 1)],
+               target_ref, qrbuf_ref, score_ref.at[0], zdiag_ref.at[0],
+               *scratch)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T), lambda b, tl, ql: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * T + Q - 1), lambda b, tl, ql: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda b, tl, ql: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ndiag, T), lambda b, tl, ql: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, T), jnp.int32),
+            pltpu.VMEM((1, T), jnp.int32),
+            pltpu.VMEM((1, T), jnp.int32),
+            pltpu.VMEM((1, T), jnp.int32),
+        ],
+    )
+
+    scores, zdiags = pl.pallas_call(
+        wrapped,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, ndiag, T), jnp.uint8),
+        ],
+        interpret=interpret,
+    )(tlens.astype(jnp.int32), qlens.astype(jnp.int32), targets, qrbuf)
+    return scores[:, 0], zdiags
+
+
+def align_batch_pallas(target_seqs, query_seqs, match=1, mismatch=2,
+                       gapopen=5, gapextend=0, interpret=None):
+    """Device-batched alignment via the Pallas kernel; exact ksw2 results."""
+    from kevlar_tpu import dna
+
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+
+    def bucket(n):
+        b = 128
+        while b < n:
+            b *= 2
+        return b
+
+    B = len(target_seqs)
+    T = bucket(max((len(t) for t in target_seqs), default=1))
+    Q = bucket(max((len(q) for q in query_seqs), default=1))
+    targets, tlens = dna.encode_batch(list(target_seqs), pad_to=T)
+    queries, qlens = dna.encode_batch(list(query_seqs), pad_to=Q)
+
+    scores, zdiags = _align_pallas_batch(
+        jnp.asarray(targets), jnp.asarray(tlens), jnp.asarray(queries),
+        jnp.asarray(qlens), T=T, Q=Q, match=match, mismatch=mismatch,
+        gapopen=gapopen, gapextend=gapextend, interpret=interpret)
+    scores = np.asarray(scores)
+    zdiags = np.asarray(zdiags)
+
+    results = []
+    for b in range(B):
+        tlen, qlen = int(tlens[b]), int(qlens[b])
+        z = np.zeros((tlen, qlen), dtype=np.uint8)
+        i_idx, j_idx = np.meshgrid(np.arange(tlen), np.arange(qlen),
+                                   indexing='ij')
+        z[i_idx, j_idx] = zdiags[b][i_idx + j_idx, i_idx]
+        results.append((_backtrack(z, tlen, qlen), int(scores[b])))
+    return results
