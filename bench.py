@@ -66,8 +66,12 @@ def device_pipeline(case_reads, ctrl_reads_list):
     all_reads = [case_reads] + ctrl_reads_list
 
     # warmup: compile consume + screen on one batch each
+    print('# bench: compiling consume kernel...', file=sys.stderr,
+          flush=True)
     warm = next(batches(case_reads))
     sketches[0].consume_batch(warm)
+    print('# bench: compiling screen kernel...', file=sys.stderr,
+          flush=True)
     lengths = jnp.full((BATCH,), READLEN, dtype=jnp.int32)
     novel_ops.novel_screen(
         (sketches[0].tables,),
@@ -76,6 +80,8 @@ def device_pipeline(case_reads, ctrl_reads_list):
         ctrlmax=CTRLMAX)
     # reset the warmed sketch
     sketches[0] = Sketch(KSIZE, TABLESIZE, 4, counter_bits=8)
+    print('# bench: compiled; timing device pipeline', file=sys.stderr,
+          flush=True)
 
     t0 = time.time()
     for sk, reads in zip(sketches, all_reads):

@@ -105,29 +105,50 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
                     continue
             else:
                 continue
-        interesting, abunds, discard, skip = novel_ops.novel_screen(
-            case_tables, ctrl_tables, rbatch.bases, rbatch.lengths,
-            ksize=ksize, casemin=casemin, ctrlmax=ctrlmax, screen=abundscreen,
-            numbands=numbands, band=band)
-        interesting = np.asarray(interesting)
-        abunds = np.asarray(abunds)
+        P = rbatch.bases.shape[1] - ksize + 1
+        hit_idx, hit_abunds, n_hits, discard, skip = \
+            novel_ops.novel_screen_compact(
+                case_tables, ctrl_tables, rbatch.bases, rbatch.lengths,
+                ksize=ksize, casemin=casemin, ctrlmax=ctrlmax,
+                screen=abundscreen, numbands=numbands, band=band)
+        n_hits = int(n_hits)
+        if n_hits > hit_idx.shape[0]:
+            # compaction overflow (extremely k-mer-dense batch): fall back
+            # to the full mask
+            interesting, abunds, discard, skip = novel_ops.novel_screen(
+                case_tables, ctrl_tables, rbatch.bases, rbatch.lengths,
+                ksize=ksize, casemin=casemin, ctrlmax=ctrlmax,
+                screen=abundscreen, numbands=numbands, band=band)
+            flat = np.nonzero(np.asarray(interesting).ravel())[0]
+            abunds_np = np.asarray(abunds).reshape(
+                len(case_tables) + len(ctrl_tables), -1)
+            hits_np = flat
+            hitab_np = abunds_np[:, flat]
+        else:
+            hits_np = np.asarray(hit_idx)[:n_hits]
+            hitab_np = np.asarray(hit_abunds)[:, :n_hits]
         discard = np.asarray(discard)
         nprocessed += len(rbatch)
         progress.update(len(rbatch))
 
-        for i, record in enumerate(rbatch.records):
-            if discard[i]:
+        irecord = None
+        last_i = -1
+        for h in range(len(hits_np)):
+            i, p = divmod(int(hits_np[h]), P)
+            if i >= len(rbatch.records) or discard[i]:
                 continue
-            positions = np.nonzero(interesting[i])[0]
-            if positions.size == 0:
-                continue
-            irecord = sequence.copy_record(record)
-            for p in positions:
-                p = int(p)
-                kmer = record.sequence[p:p + ksize]
-                abund = tuple(int(a) for a in abunds[:, i, p])
-                irecord.annotate(kmer, p, abund)
-                unique_kmers.add(kevlar_tpu.revcommin(kmer))
+            if i != last_i:
+                if irecord is not None and irecord.annotations:
+                    nreads += 1
+                    nkmers += len(irecord.annotations)
+                    yield irecord
+                irecord = sequence.copy_record(rbatch.records[i])
+                last_i = i
+            record = rbatch.records[i]
+            kmer = record.sequence[p:p + ksize]
+            irecord.annotate(kmer, p, tuple(int(a) for a in hitab_np[:, h]))
+            unique_kmers.add(kevlar_tpu.revcommin(kmer))
+        if irecord is not None and irecord.annotations:
             nreads += 1
             nkmers += len(irecord.annotations)
             yield irecord

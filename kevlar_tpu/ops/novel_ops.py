@@ -80,3 +80,37 @@ def novel_screen(case_tables, ctrl_tables, bases, lengths, ksize, casemin,
 
     abunds = jnp.concatenate([case_counts, ctrl_counts], axis=0)
     return interesting, abunds, discard, skip
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('ksize', 'casemin', 'ctrlmax', 'screen', 'numbands',
+                     'band', 'max_hits'))
+def novel_screen_compact(case_tables, ctrl_tables, bases, lengths, ksize,
+                         casemin, ctrlmax, screen=None, numbands=None,
+                         band=None, max_hits=32768):
+    """novel_screen + device-side compaction of the (sparse) hits.
+
+    Instead of shipping the full [B, P] interest mask and [S, B, P] abundance
+    tensor to the host, returns only the annotated positions:
+
+    - hit_idx : int32 [max_hits] — flattened b*P + p indices of interesting
+      k-mers (ascending; padded with -1)
+    - hit_abunds : uint8 [S, max_hits] — per-sample abundances at those hits
+    - n_hits : int32 — true number of hits (> max_hits means overflow: the
+      caller should fall back to the uncompacted kernel)
+    - discard, skip : bool [B]
+    """
+    interesting, abunds, discard, skip = novel_screen(
+        case_tables, ctrl_tables, bases, lengths, ksize=ksize,
+        casemin=casemin, ctrlmax=ctrlmax, screen=screen, numbands=numbands,
+        band=band)
+    flat = interesting.ravel()
+    n_hits = jnp.sum(flat.astype(jnp.int32))
+    (hit_idx,) = jnp.nonzero(flat, size=max_hits, fill_value=-1)
+    S = abunds.shape[0]
+    flat_abunds = abunds.reshape(S, -1)
+    safe = jnp.maximum(hit_idx, 0)
+    hit_abunds = jnp.where(hit_idx[None, :] >= 0,
+                           flat_abunds[:, safe], jnp.uint8(0))
+    return hit_idx, hit_abunds, n_hits, discard, skip
