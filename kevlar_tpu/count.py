@@ -53,11 +53,23 @@ def load_sample_seqfile(seqfiles, ksize, memory, maxfpr=0.2, count=True,
                         smallcount=False, mask=None, maskmaxabund=0,
                         consume_masked=False, numbands=None, band=None,
                         outfile=None, numthreads=1,
-                        batch_size=DEFAULT_BATCH_SIZE):
-    """Compute k-mer abundances for one sample; returns the sketch."""
+                        batch_size=DEFAULT_BATCH_SIZE, mesh=None):
+    """Compute k-mer abundances for one sample; returns the sketch.
+
+    With `mesh`, the sketch is hash-sharded across the mesh's 'shard' axis
+    and reads are data-parallel across 'data' (see docs/sharding.md);
+    banding flags are then unnecessary and unsupported.
+    """
     counter_bits = (4 if smallcount else 8) if count else 1
-    sketch = allocate_from_memory(ksize, memory, num_tables=4,
-                                  counter_bits=counter_bits)
+    if mesh is not None:
+        from kevlar_tpu.parallel import ShardedSketch
+        from kevlar_tpu.sketch import BUCKETS_PER_BYTE
+        tablesize = int(memory) // 4 * BUCKETS_PER_BYTE[counter_bits]
+        sketch = ShardedSketch(mesh, ksize, max(tablesize, 1), 4,
+                               counter_bits=counter_bits)
+    else:
+        sketch = allocate_from_memory(ksize, memory, num_tables=4,
+                                      counter_bits=counter_bits)
     numreads = 0
     for seqfile in seqfiles:
         kevlar_tpu.plog('[kevlar::count] - processing "{}"'.format(seqfile))

@@ -81,8 +81,11 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
     nreads = 0
     nprocessed = 0
     unique_kmers = set()
-    case_tables = tuple(s.tables for s in casecounts)
-    ctrl_tables = tuple(s.tables for s in controlcounts)
+    from kevlar_tpu.parallel.sharded import ShardedSketch
+    sharded = isinstance(casecounts[0], ShardedSketch)
+    if not sharded:
+        case_tables = tuple(s.tables for s in casecounts)
+        ctrl_tables = tuple(s.tables for s in controlcounts)
     skipping = skipuntil is not None
 
     progress = kevlar_tpu.ProgressIndicator(
@@ -106,13 +109,28 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
             else:
                 continue
         P = rbatch.bases.shape[1] - ksize + 1
-        hit_idx, hit_abunds, n_hits, discard, skip = \
-            novel_ops.novel_screen_compact(
-                case_tables, ctrl_tables, rbatch.bases, rbatch.lengths,
-                ksize=ksize, casemin=casemin, ctrlmax=ctrlmax,
-                screen=abundscreen, numbands=numbands, band=band)
-        n_hits = int(n_hits)
-        if n_hits > hit_idx.shape[0]:
+        if sharded:
+            from kevlar_tpu.parallel import sharded_novel_screen
+            interesting, abunds, discard, skip = sharded_novel_screen(
+                casecounts[0].mesh, casecounts, controlcounts,
+                rbatch.bases, rbatch.lengths, casemin=casemin,
+                ctrlmax=ctrlmax, screen=abundscreen)
+            flat = np.nonzero(np.asarray(interesting).ravel())[0]
+            abunds_np = np.asarray(abunds).reshape(
+                len(casecounts) + len(controlcounts), -1)
+            hits_np = flat
+            hitab_np = abunds_np[:, flat]
+            n_hits = len(flat)
+        else:
+            hit_idx, hit_abunds, n_hits, discard, skip = \
+                novel_ops.novel_screen_compact(
+                    case_tables, ctrl_tables, rbatch.bases, rbatch.lengths,
+                    ksize=ksize, casemin=casemin, ctrlmax=ctrlmax,
+                    screen=abundscreen, numbands=numbands, band=band)
+            n_hits = int(n_hits)
+        if sharded:
+            pass
+        elif n_hits > hit_idx.shape[0]:
             # compaction overflow (extremely k-mer-dense batch): fall back
             # to the full mask
             interesting, abunds, discard, skip = novel_ops.novel_screen(

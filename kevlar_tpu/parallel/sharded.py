@@ -99,11 +99,89 @@ class ShardedSketch:
     def hashsizes(self):
         return [self.tablesize] * self.ntables
 
-    def _consume_fn(self):
+    # -- Sketch-interface parity (host-side queries over gathered mirror) --
+    def _host(self):
+        if getattr(self, '_host_tables', None) is None:
+            self._host_tables = np.asarray(self.tables)
+        return self._host_tables
+
+    def _invalidate(self):
+        self._host_tables = None
+
+    def n_occupied(self):
+        return int(np.count_nonzero(self._host()[0]))
+
+    def n_unique_kmers(self):
+        occ = self.n_occupied()
+        if occ >= self.tablesize:
+            return self.tablesize
+        return int(round(-self.tablesize * np.log1p(-occ / self.tablesize)))
+
+    def _host_counts(self, h1, h2, valid=None):
+        tables = self._host()
+        counts = None
+        for t in range(self.ntables):
+            idx = (h1 + np.uint32(t) * h2) % np.uint32(self.tablesize)
+            c = tables[t][idx.astype(np.int64)]
+            counts = c if counts is None else np.minimum(counts, c)
+        if valid is not None:
+            counts = np.where(valid, counts, 0)
+        return counts
+
+    def get(self, kmer):
+        from kevlar_tpu import dna
+        h1, h2 = dna.hash_kmer(kmer)
+        return int(self._host_counts(np.uint32([h1]), np.uint32([h2]))[0])
+
+    def get_kmer_counts(self, seq):
+        from kevlar_tpu import dna
+        h1, h2, valid = dna.kmer_hashes(dna.encode(seq), self._ksize)
+        return [int(c) for c in self._host_counts(h1, h2, valid)]
+
+    def save(self, filename):
+        """Gather shards to host and persist in the standard npz format
+        (loadable as a single-device Sketch)."""
+        import os
+        np.savez_compressed(
+            filename, tables=self._host(), ksize=self._ksize,
+            tablesize=self.tablesize, ntables=self.ntables,
+            counter_bits=self.counter_bits)
+        if not filename.endswith('.npz') and os.path.exists(filename + '.npz'):
+            os.replace(filename + '.npz', filename)
+
+    def _consume_fn(self, has_mask, mask_threshold, consume_masked):
+        # memoize: a fresh jax.jit wrapper per call would defeat the
+        # compilation cache
+        key = (has_mask, mask_threshold, consume_masked)
+        cache = getattr(self, '_fn_cache', None)
+        if cache is None:
+            cache = self._fn_cache = {}
+        if key in cache:
+            return cache[key]
         mesh = self.mesh
         ksize = self._ksize
         shard_size, total = self.shard_size, self.tablesize
         ntables, maxcount = self.ntables, self.maxcount
+
+        if has_mask:
+            @jax.jit
+            @functools.partial(
+                shard_map, mesh=mesh,
+                in_specs=(P(None, 'shard'), P(None, 'shard'),
+                          P('data', None)),
+                out_specs=P(None, 'shard'))
+            def consume(tables_local, mask_local, bases_local):
+                h1, h2, valid = hashing.kmer_hashes(bases_local, ksize)
+                mcnt = _local_gather(mask_local, h1, h2, shard_size, total,
+                                     ntables)
+                if consume_masked:
+                    valid = valid & (mcnt >= jnp.uint8(mask_threshold))
+                else:
+                    valid = valid & (mcnt <= jnp.uint8(mask_threshold))
+                return _local_consume(tables_local, h1, h2, valid,
+                                      shard_size, total, ntables, maxcount)
+            cache[key] = consume
+            return consume
 
         @jax.jit
         @functools.partial(
@@ -114,12 +192,32 @@ class ShardedSketch:
             h1, h2, valid = hashing.kmer_hashes(bases_local, ksize)
             return _local_consume(tables_local, h1, h2, valid, shard_size,
                                   total, ntables, maxcount)
+        cache[key] = consume
         return consume
 
-    def consume_batch(self, bases):
-        """Count a [B, L] base batch; B must divide evenly over 'data'."""
+    def consume_batch(self, bases, numbands=None, band=None, mask=None,
+                      mask_threshold=0, consume_masked=False):
+        """Count a [B, L] base batch (rows padded to the 'data' axis).
+
+        Banding is intentionally unsupported: hash-space sharding over the
+        mesh supersedes it (docs/sharding.md).  A mask must share this
+        sketch's mesh/tablesize layout.
+        """
+        if numbands:
+            raise ValueError(
+                'banding is superseded by mesh sharding for ShardedSketch')
         bases = self._pad_rows(np.asarray(bases))
-        self.tables = self._consume_fn()(self.tables, bases)
+        if mask is not None:
+            assert isinstance(mask, ShardedSketch), \
+                'sharded consume requires a same-layout sharded mask'
+            assert mask.tablesize == self.tablesize
+            fn = self._consume_fn(True, int(mask_threshold),
+                                  bool(consume_masked))
+            self.tables = fn(self.tables, mask.tables, bases)
+        else:
+            fn = self._consume_fn(False, 0, False)
+            self.tables = fn(self.tables, bases)
+        self._invalidate()
 
     def _pad_rows(self, bases):
         n_data = self.mesh.shape['data']

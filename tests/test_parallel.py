@@ -84,3 +84,45 @@ def test_sharded_novel_screen_matches_unsharded(seqs):
     np.testing.assert_array_equal(interesting, np.asarray(ref_int))
     np.testing.assert_array_equal(abunds, np.asarray(ref_ab))
     np.testing.assert_array_equal(skip, np.asarray(ref_skip))
+
+
+def test_sharded_end_to_end_novel_stage(tmp_path):
+    """count(mesh=...) + novel() over sharded sketches == single-device."""
+    from kevlar_tpu.count import load_sample_seqfile
+    from kevlar_tpu.novel import novel
+    rng = random.Random(777)
+    genome = simdata.make_genome(rng, 1200)
+    child_genome, _, _ = simdata.apply_snv(genome, 600, rng=rng)
+    child = simdata.tiled_reads(child_genome, 100, 10, 'c')
+    parent = simdata.tiled_reads(genome, 100, 10, 'p')
+    childfq = str(tmp_path / 'child.fq')
+    parentfq = str(tmp_path / 'parent.fq')
+    simdata.write_fastq(child, childfq)
+    simdata.write_fastq(parent, parentfq)
+
+    mesh = make_mesh(2, 4)
+    case_sh = load_sample_seqfile([childfq], KSIZE, 4e6, mesh=mesh)
+    ctrl_sh = load_sample_seqfile([parentfq], KSIZE, 4e6, mesh=mesh)
+    out_sh = list(novel(iter(child), [case_sh], [ctrl_sh], ksize=KSIZE,
+                        casemin=6, ctrlmax=0))
+
+    case_sg = load_sample_seqfile([childfq], KSIZE, 4e6)
+    ctrl_sg = load_sample_seqfile([parentfq], KSIZE, 4e6)
+    # tablesize differs (shard padding), so compare the *screen results*
+    out_sg = list(novel(iter(child), [case_sg], [ctrl_sg], ksize=KSIZE,
+                        casemin=6, ctrlmax=0))
+
+    ann_sh = {(r.name, k.offset, k.abund) for r in out_sh
+              for k in r.annotations}
+    ann_sg = {(r.name, k.offset, k.abund) for r in out_sg
+              for k in r.annotations}
+    assert len(ann_sh) > 0
+    assert ann_sh == ann_sg
+
+    # save/load roundtrip of the sharded sketch
+    path = str(tmp_path / 'case.ct')
+    case_sh.save(path)
+    from kevlar_tpu import sketch as sketch_mod
+    loaded = sketch_mod.load(path)
+    kmer = child_genome[590:590 + KSIZE]
+    assert loaded.get(kmer) == case_sh.get(kmer)
