@@ -25,6 +25,75 @@ class KevlarCaseSampleMismatchError(ValueError):
     pass
 
 
+class _LazyRecords:
+    """Record accessor over native-parser arrays: Records are materialised
+    only for reads that actually carry novel k-mers."""
+
+    def __init__(self, bases, lengths, names, quals):
+        self._bases = bases
+        self._lengths = lengths
+        self._names = names
+        self._quals = quals
+        self._cache = {}
+
+    def __len__(self):
+        return len(self._names)
+
+    def __getitem__(self, i):
+        if i not in self._cache:
+            from kevlar_tpu import dna
+            L = int(self._lengths[i])
+            seq = dna.decode(self._bases[i, :L])
+            qual = None
+            if self._quals is not None:
+                q = bytes(self._quals[i, :L]).decode('ascii', 'replace')
+                qual = q if q.strip('\x00') else None
+            self._cache[i] = sequence.Record(
+                name=self._names[i], sequence=seq, quality=qual)
+        return self._cache[i]
+
+
+class _NativeBatch:
+    """ReadBatch-compatible view over native parser output."""
+
+    __slots__ = ('bases', 'lengths', 'records', 'names', 'n')
+
+    def __init__(self, bases, lengths, names, quals, pad_rows):
+        self.n = len(names)
+        self.names = names
+        if bases.shape[0] < pad_rows:
+            bases = np.concatenate([
+                bases,
+                np.full((pad_rows - bases.shape[0], bases.shape[1]), 4,
+                        np.uint8)])
+            lengths = np.concatenate([
+                lengths, np.zeros(pad_rows - len(lengths), np.int32)])
+        self.bases = bases
+        self.lengths = lengths
+        self.records = _LazyRecords(bases, lengths, names, quals)
+
+    def __len__(self):
+        return self.n
+
+
+def native_read_batches(files, batch_size, max_len=1024):
+    """Stream _NativeBatch objects via the C++ parser (raises ImportError
+    when the native library is unavailable)."""
+    from kevlar_tpu import native
+    from kevlar_tpu.batch import bucket_length
+    for path in files:
+        reader = native.FastxBatchReader(path, max_reads=batch_size,
+                                         max_len=max_len, want_quals=True)
+        bucket = 0
+        for bases, lengths, names, quals in reader:
+            maxlen = int(lengths.max()) if len(lengths) else 0
+            bucket = max(bucket, bucket_length(maxlen))
+            yield _NativeBatch(np.ascontiguousarray(bases[:, :bucket]),
+                               lengths, names,
+                               quals[:, :bucket] if quals is not None
+                               else None, batch_size)
+
+
 def load_samples(counttables=None, filelists=None, ksize=31, memory=1e6,
                  maxfpr=0.2, numbands=None, band=None, numthreads=1,
                  outfilelist=None):
@@ -64,7 +133,8 @@ def save_counts(filelist, tablelist):
 
 def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
           casemin=5, ctrlmax=0, numbands=None, band=None, skipuntil=None,
-          batch_size=batch_mod.DEFAULT_BATCH_SIZE, updateint=1e6):
+          batch_size=batch_mod.DEFAULT_BATCH_SIZE, updateint=1e6,
+          batchstream=None):
     """Generator yielding annotated (augmented) records with novel k-mers."""
     numbands_unset = not numbands
     band_unset = not band and band != 0
@@ -92,7 +162,9 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
         '[kevlar::novel]     processed {counter} reads', interval=updateint,
         breaks=[1e7, 1e8, 1e9], usetimer=True)
 
-    for rbatch in batch_mod.batches_from_records(casestream, batch_size):
+    if batchstream is None:
+        batchstream = batch_mod.batches_from_records(casestream, batch_size)
+    for rbatch in batchstream:
         if skipping:
             # restartability support (novel.py:114-132): fast-forward to a
             # named read, host-side
@@ -199,12 +271,23 @@ def main(args):
     outstream = kevlar_tpu.open(args.out, 'w')
     infiles = [f for filelist in args.case for f in filelist]
     from kevlar_tpu import seqio
-    caserecords = seqio.multi_file_iter(infiles)
+    caserecords = None
+    batchstream = None
+    if args.skip_until is None:
+        try:  # native fast path: no per-read Python objects on the stream
+            from kevlar_tpu import native
+            if native.available():
+                batchstream = native_read_batches(
+                    infiles, batch_mod.DEFAULT_BATCH_SIZE)
+        except ImportError:
+            pass
+    if batchstream is None:
+        caserecords = seqio.multi_file_iter(infiles)
     readstream = novel(
         caserecords, cases, controls, ksize=args.ksize,
         abundscreen=args.abund_screen, casemin=args.case_min,
         ctrlmax=args.ctrl_max, numbands=args.num_bands, band=myband,
-        skipuntil=args.skip_until)
+        skipuntil=args.skip_until, batchstream=batchstream)
     for augmented_read in readstream:
         kevlar_tpu.print_augmented_fastx(augmented_read, outstream)
 
