@@ -16,6 +16,7 @@ base arrays (FASTQ parsing/marshalling excluded on both sides equally).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -24,7 +25,7 @@ import numpy as np
 KSIZE = 31
 READLEN = 150
 PADLEN = 160
-BATCH = 8192
+BATCH = int(os.environ.get('KEVLAR_BENCH_BATCH', 8192))
 GENOME_LEN = 200_000
 COVERAGE = 30
 TABLESIZE = 2_000_003

@@ -1,0 +1,138 @@
+"""Coverage for support components: cigar endcheck, VCF writer details,
+gz-aware open, GML output, mutable string, timers."""
+
+import io
+import os
+
+import pytest
+
+import kevlar_tpu
+from kevlar_tpu.cigar import AlignmentTokenizer
+from kevlar_tpu.mutablestring import MutableString
+from kevlar_tpu.vcf import Variant, VCFWriter, VCFReader, VariantFilter
+
+
+def test_cigar_tokenize_blocks():
+    #       target: 5D + 10M + 3D ; query: 10M
+    tok = AlignmentTokenizer('Q' * 10, 'T' * 18, '5D10M3D')
+    types = [b.type for b in tok.blocks]
+    assert types == ['D', 'M', 'D']
+    assert tok.blocks[1].target == 'T' * 10
+    assert tok.blocks[1].query == 'Q' * 10
+
+
+def test_cigar_endcheck_merges_trailing_match():
+    # 50D 98M 50D 2M where the last 2 query bases match the start of the
+    # trailing 52 target bases -> canonicalised to 50D 100M 50D
+    target = 'A' * 50 + 'C' * 98 + 'G' * 50 + 'CC'
+    query = 'C' * 100
+    tok = AlignmentTokenizer(query, target, '50D98M50D2M')
+    assert tok._cigar == '50D100M50D'
+
+
+def test_cigar_endcheck_realistic():
+    import random
+    from tests import simdata
+    from kevlar_tpu.ops.align import align_numpy
+    rng = random.Random(31)
+    g = simdata.make_genome(rng, 200)
+    contig = g[50:150]
+    cigar, score = align_numpy(g, contig)
+    assert cigar == '50D98M50D2M'  # ksw2 trailing-M artifact
+    tok = AlignmentTokenizer(contig, g, cigar)
+    assert tok._cigar == '50D100M50D'
+    assert tok.blocks[1].length == 100
+
+
+def test_vcf_writer_info_order_and_contig_last():
+    out = io.StringIO()
+    v = Variant('chr1', 99, 'A', 'T', CONTIG='ACGT', CIGAR='100M',
+                KSW2='95', ALTWINDOW='AATAA')
+    w = VCFWriter(out)
+    w.write(v)
+    line = out.getvalue().strip()
+    fields = line.split('\t')
+    assert fields[0] == 'chr1'
+    assert fields[1] == '100'  # 1-based on write
+    info = fields[7]
+    assert info.endswith('CONTIG=ACGT')  # CONTIG printed last
+    assert info.startswith('ALTWINDOW=AATAA;CIGAR=100M;KSW2=95')
+
+
+def test_vcf_filter_strings():
+    v = Variant('chr1', 5, 'A', 'T')
+    assert v.filterstr == 'PASS'
+    v.filter(VariantFilter.PassengerVariant)
+    v.filter(VariantFilter.Homopolymer)
+    assert v.filterstr == 'Homopolymer;PassengerVariant'
+    nocall = Variant('chr1', 5, '.', '.')
+    assert nocall.filterstr == '.'
+
+
+def test_vcf_reader_samples_and_format():
+    text = (
+        '##fileformat=VCFv4.2\n'
+        '#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tKid\tMom\n'
+        'chr1\t100\t.\tA\tT\t.\tPASS\tLIKESCORE=12.5\t'
+        'ALTABUND\t5,6\t0,0\n'
+    )
+    reader = VCFReader(io.StringIO(text))
+    variants = list(reader)
+    assert reader._sample_labels == ['Kid', 'Mom']
+    v = variants[0]
+    assert v.position == 99
+    assert v.format('Kid', 'ALTABUND') == '5,6'
+    assert v.format('Mom', 'ALTABUND') == '0,0'
+
+
+def test_open_gz_roundtrip(tmp_path):
+    path = str(tmp_path / 'x.txt.gz')
+    with kevlar_tpu.open(path, 'w') as fh:
+        fh.write('hello\nworld\n')
+    with kevlar_tpu.open(path, 'r') as fh:
+        assert fh.read() == 'hello\nworld\n'
+    with pytest.raises(ValueError):
+        kevlar_tpu.open(path, 'a')
+
+
+def test_gml_output(tmp_path):
+    from kevlar_tpu.readgraph import ReadGraph, to_gml
+    g = ReadGraph()
+    g.add_node('a')
+    g.add_node('b')
+    g.add_edge('a', 'b', offset=1)
+    path = str(tmp_path / 'graph.gml')
+    to_gml(g, path)
+    text = open(path).read()
+    assert 'node [ id 0 label "a" ]' in text
+    assert 'edge [ source 0 target 1 ]' in text
+
+
+def test_mutable_string():
+    m = MutableString('ACGT')
+    m[1] = 'T'
+    assert str(m) == 'ATGT'
+    m[1:3] == 'TG'
+    del m[0]
+    assert str(m) == 'TGT'
+    m += 'AA'
+    assert str(m) == 'TGTAA'
+    assert 'GTA' in m
+    assert len(m) == 5
+
+
+def test_timer_and_progress():
+    t = kevlar_tpu.Timer()
+    t.start()
+    t.start('phase')
+    assert t.probe('phase') >= 0
+    assert t.stop('phase') >= 0
+    assert t.stop() >= 0
+    with pytest.raises(ValueError):
+        t.stop('nope')
+    with pytest.raises(ValueError):
+        t.start()  # already started
+    p = kevlar_tpu.ProgressIndicator('processed {counter}', interval=2)
+    for _ in range(5):
+        p.update()
+    assert p.counter == 5
