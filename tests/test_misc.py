@@ -22,9 +22,9 @@ def test_cigar_tokenize_blocks():
 
 
 def test_cigar_endcheck_merges_trailing_match():
-    # 50D 98M 50D 2M where the last 2 query bases match the start of the
-    # trailing 52 target bases -> canonicalised to 50D 100M 50D
-    target = 'A' * 50 + 'C' * 98 + 'G' * 50 + 'CC'
+    # 50D 98M 50D 2M where the trailing M's query matches the start of the
+    # (D target + M target) -> canonicalised to 50D 100M 50D
+    target = 'A' * 50 + 'C' * 98 + ('CC' + 'G' * 48) + 'GG'
     query = 'C' * 100
     tok = AlignmentTokenizer(query, target, '50D98M50D2M')
     assert tok._cigar == '50D100M50D'
