@@ -55,8 +55,20 @@ def batches(reads):
         yield chunk
 
 
+def stack_all(reads):
+    """[N, PADLEN] -> [NB, BATCH, PADLEN] (rows padded with invalid)."""
+    NB = -(-len(reads) // BATCH)
+    out = np.full((NB * BATCH, PADLEN), 4, dtype=np.uint8)
+    out[:len(reads)] = reads
+    return out.reshape(NB, BATCH, PADLEN)
+
+
 def device_pipeline(case_reads, ctrl_reads_list):
-    """Count 3 samples + screen case reads on device. Returns wall seconds."""
+    """Count 3 samples + screen case reads on device. Returns wall seconds.
+
+    Counting runs as ONE stacked-scan dispatch per sample (lax.scan over the
+    batch stack); the screen runs per batch.
+    """
     import jax
     import jax.numpy as jnp
     from kevlar_tpu.sketch import Sketch
@@ -65,19 +77,19 @@ def device_pipeline(case_reads, ctrl_reads_list):
     sketches = [Sketch(KSIZE, TABLESIZE, 4, counter_bits=8)
                 for _ in range(1 + len(ctrl_reads_list))]
     all_reads = [case_reads] + ctrl_reads_list
+    stacks = [stack_all(r) for r in all_reads]
 
-    # warmup: compile consume + screen on one batch each
+    # warmup: compile stacked consume + screen
     print('# bench: compiling consume kernel...', file=sys.stderr,
           flush=True)
-    warm = next(batches(case_reads))
-    sketches[0].consume_batch(warm)
+    sketches[0].consume_batch_stack(stacks[0])
     print('# bench: compiling screen kernel...', file=sys.stderr,
           flush=True)
     lengths = jnp.full((BATCH,), READLEN, dtype=jnp.int32)
     novel_ops.novel_screen(
         (sketches[0].tables,),
         tuple(s.tables for s in sketches[1:]),
-        jnp.asarray(warm), lengths, ksize=KSIZE, casemin=CASEMIN,
+        jnp.asarray(stacks[0][0]), lengths, ksize=KSIZE, casemin=CASEMIN,
         ctrlmax=CTRLMAX)
     # reset the warmed sketch
     sketches[0] = Sketch(KSIZE, TABLESIZE, 4, counter_bits=8)
@@ -85,9 +97,8 @@ def device_pipeline(case_reads, ctrl_reads_list):
           flush=True)
 
     t0 = time.time()
-    for sk, reads in zip(sketches, all_reads):
-        for chunk in batches(reads):
-            sk.consume_batch(chunk)
+    for sk, stack in zip(sketches, stacks):
+        sk.consume_batch_stack(stack)
     case_tables = (sketches[0].tables,)
     ctrl_tables = tuple(s.tables for s in sketches[1:])
     # accumulate the interesting-k-mer count on device; sync once at the end

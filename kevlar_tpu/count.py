@@ -27,16 +27,36 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
     Uses the native C++ batch parser when built (reads marshalled straight
     into padded device batches); falls back to the Python parser.
     """
+    import numpy as np
     from kevlar_tpu.batch import native_base_batches
     numreads = 0
     threshold = 1 if consume_masked else maskmaxabund
+    stack_depth = 8
+    pending = {}
+
+    def flush(shape):
+        stack = pending.pop(shape)
+        if not stack:
+            return
+        if hasattr(sketch, 'consume_batch_stack') and len(stack) > 1:
+            while len(stack) < stack_depth:  # pad: one compiled stack shape
+                stack.append(np.full_like(stack[0], 4))
+            sketch.consume_batch_stack(
+                np.stack(stack), numbands=numbands, band=band, mask=mask,
+                mask_threshold=threshold, consume_masked=consume_masked)
+        else:
+            for bases in stack:
+                sketch.consume_batch(
+                    bases, numbands=numbands, band=band, mask=mask,
+                    mask_threshold=threshold, consume_masked=consume_masked)
 
     def consume(bases, nreads):
         nonlocal numreads
-        sketch.consume_batch(
-            bases, numbands=numbands, band=band, mask=mask,
-            mask_threshold=threshold, consume_masked=consume_masked)
         numreads += nreads
+        shape = bases.shape
+        pending.setdefault(shape, []).append(np.asarray(bases))
+        if len(pending[shape]) >= stack_depth:
+            flush(shape)
 
     for seqfile in seqfiles:
         try:
@@ -46,6 +66,8 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
             stream = seqio.multi_file_iter([seqfile])
             for batch in batches_from_records(stream, batch_size=batch_size):
                 consume(batch.bases, len(batch))
+    for shape in list(pending):
+        flush(shape)
     return numreads
 
 

@@ -80,6 +80,35 @@ def consume_batch(tables, bases, ksize, maxcount, numbands=None, band=None,
     return new_tables, jnp.sum(valid.astype(jnp.int32))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=('ksize', 'maxcount', 'numbands', 'band',
+                     'mask_threshold', 'consume_masked', 'has_mask'),
+    donate_argnames=('tables',))
+def consume_batch_stack(tables, bases_stack, ksize, maxcount, numbands=None,
+                        band=None, mask_tables=None, has_mask=False,
+                        mask_threshold=0, consume_masked=False):
+    """Count a [NB, B, L] stack of read batches in ONE device dispatch.
+
+    Scans over the leading axis — the compiled program is the same size as a
+    single-batch consume, but per-dispatch latency is paid once per stack
+    instead of once per batch (decisive on high-latency links, still a win
+    on local hardware).
+    """
+    def body(tbl, bases):
+        h1, h2, valid = hashing.kmer_hashes(bases, ksize)
+        if numbands:
+            valid = valid & ((h1 & jnp.uint32(numbands - 1))
+                             == jnp.uint32(band))
+        if has_mask:
+            valid = _apply_mask_screen(mask_tables, h1, h2, valid,
+                                       mask_threshold, consume_masked)
+        return _consume_hashes(tbl, h1, h2, valid, maxcount), None
+
+    new_tables, _ = jax.lax.scan(body, tables, bases_stack)
+    return new_tables
+
+
 @functools.partial(jax.jit, static_argnames=('maxcount',),
                    donate_argnames=('tables',))
 def consume_hash_batch(tables, h1, h2, valid, maxcount):

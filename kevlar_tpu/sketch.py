@@ -232,6 +232,24 @@ class Sketch:
         self._invalidate()
         return n
 
+    def consume_batch_stack(self, bases_stack, numbands=None, band=None,
+                            mask=None, mask_threshold=0,
+                            consume_masked=False):
+        """Count a [NB, B, L] stack of batches in one device dispatch."""
+        if self.backend == 'host':
+            for bases in bases_stack:
+                self.consume_batch(bases, numbands=numbands, band=band,
+                                   mask=mask, mask_threshold=mask_threshold,
+                                   consume_masked=consume_masked)
+            return
+        mask_tables = mask.tables if mask is not None else None
+        self.tables = sketch_ops.consume_batch_stack(
+            self.tables, jnp.asarray(bases_stack), ksize=self._ksize,
+            maxcount=self.maxcount, numbands=numbands, band=band,
+            mask_tables=mask_tables, has_mask=mask is not None,
+            mask_threshold=mask_threshold, consume_masked=consume_masked)
+        self._invalidate()
+
     def consume_hashes(self, h1, h2, valid=None):
         """Count pre-hashed k-mers (uint32 arrays)."""
         if self.backend == 'host':
