@@ -85,11 +85,12 @@ def device_pipeline(case_reads, ctrl_reads_list):
     sketches[0].consume_batch_stack(stacks[0])
     print('# bench: compiling screen kernel...', file=sys.stderr,
           flush=True)
-    lengths = jnp.full((BATCH,), READLEN, dtype=jnp.int32)
-    novel_ops.novel_screen(
+    NBw = stacks[0].shape[0]
+    lens_w = jnp.full((NBw, BATCH), READLEN, dtype=jnp.int32)
+    novel_ops.novel_screen_compact_stack(
         (sketches[0].tables,),
         tuple(s.tables for s in sketches[1:]),
-        jnp.asarray(stacks[0][0]), lengths, ksize=KSIZE, casemin=CASEMIN,
+        jnp.asarray(stacks[0]), lens_w, ksize=KSIZE, casemin=CASEMIN,
         ctrlmax=CTRLMAX)
     # reset the warmed sketch
     sketches[0] = Sketch(KSIZE, TABLESIZE, 4, counter_bits=8)
@@ -101,15 +102,17 @@ def device_pipeline(case_reads, ctrl_reads_list):
         sk.consume_batch_stack(stack)
     case_tables = (sketches[0].tables,)
     ctrl_tables = tuple(s.tables for s in sketches[1:])
-    # accumulate the interesting-k-mer count on device; sync once at the end
-    n_interesting = jnp.zeros((), jnp.int32)
-    for chunk in batches(case_reads):
-        interesting, abunds, discard, skip = novel_ops.novel_screen(
-            case_tables, ctrl_tables, jnp.asarray(chunk), lengths,
-            ksize=KSIZE, casemin=CASEMIN, ctrlmax=CTRLMAX)
-        n_interesting = n_interesting + jnp.sum(interesting,
-                                                dtype=jnp.int32)
-    n_interesting = int(n_interesting)
+    # stacked compact screen: one dispatch for the whole case sample
+    NB = stacks[0].shape[0]
+    lens = np.full((NB, BATCH), READLEN, np.int32)
+    nvalid = len(case_reads)
+    lens.reshape(-1)[nvalid:] = 0
+    hit_idx, hit_abunds, n_hits, discard, skip = \
+        novel_ops.novel_screen_compact_stack(
+            case_tables, ctrl_tables, jnp.asarray(stacks[0]),
+            jnp.asarray(lens), ksize=KSIZE, casemin=CASEMIN,
+            ctrlmax=CTRLMAX)
+    n_interesting = int(jnp.sum(n_hits))
     elapsed = time.time() - t0
     return elapsed, n_interesting
 

@@ -114,3 +114,28 @@ def novel_screen_compact(case_tables, ctrl_tables, bases, lengths, ksize,
     hit_abunds = jnp.where(hit_idx[None, :] >= 0,
                            flat_abunds[:, safe], jnp.uint8(0))
     return hit_idx, hit_abunds, n_hits, discard, skip
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('ksize', 'casemin', 'ctrlmax', 'screen', 'numbands',
+                     'band', 'max_hits'))
+def novel_screen_compact_stack(case_tables, ctrl_tables, bases_stack,
+                               lengths_stack, ksize, casemin, ctrlmax,
+                               screen=None, numbands=None, band=None,
+                               max_hits=32768):
+    """Compacted screen over a [NB, B, L] batch stack in ONE dispatch.
+
+    Returns stacked per-batch results: hit_idx [NB, max_hits],
+    hit_abunds [NB, S, max_hits], n_hits [NB], discard/skip [NB, B].
+    """
+    def body(carry, inp):
+        bases, lengths = inp
+        outs = novel_screen_compact(
+            case_tables, ctrl_tables, bases, lengths, ksize=ksize,
+            casemin=casemin, ctrlmax=ctrlmax, screen=screen,
+            numbands=numbands, band=band, max_hits=max_hits)
+        return carry, outs
+
+    _, outs = jax.lax.scan(body, 0, (bases_stack, lengths_stack))
+    return outs
