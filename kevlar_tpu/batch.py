@@ -93,6 +93,27 @@ def native_base_batches(path, batch_size=DEFAULT_BATCH_SIZE, max_len=1024):
         yield np.ascontiguousarray(view), lengths
 
 
+def pack_bases(bases):
+    """Pack base codes into the 2-bit wire format.
+
+    Returns (packed [..., ceil(L/4)] uint8, badmask [..., ceil(L/8)] uint8)
+    — see :func:`kevlar_tpu.ops.hashing.unpack_bases` for the layout.
+    """
+    bases = np.asarray(bases, dtype=np.uint8)
+    L = bases.shape[-1]
+    Lp = -(-L // 4) * 4
+    b = np.minimum(bases, 3).astype(np.uint8)
+    if Lp != L:
+        pad = np.zeros(bases.shape[:-1] + (Lp - L,), np.uint8)
+        b = np.concatenate([b, pad], axis=-1)
+    b = b.reshape(bases.shape[:-1] + (Lp // 4, 4))
+    shifts = np.uint8([0, 2, 4, 6])
+    packed = np.bitwise_or.reduce(b << shifts, axis=-1).astype(np.uint8)
+    bad = (bases >= 4)
+    badmask = np.packbits(bad, axis=-1)
+    return packed, badmask
+
+
 def pad_batch_rows(bases, batch_size):
     """Pad the batch (row) dimension up to `batch_size` with invalid bases."""
     B, L = bases.shape

@@ -5,6 +5,7 @@ emulation).  Must stay op-for-op identical to the numpy implementation;
 ``tests/test_hashing.py`` cross-checks the two on random sequences.
 """
 
+import numpy as np
 import jax.numpy as jnp
 
 GOLDEN1 = jnp.uint32(0x3c6ef372)
@@ -75,3 +76,21 @@ def kmer_hashes(bases, ksize):
 def table_index(h1, h2, table, tablesize):
     """Bucket index for probe `table` via double hashing (uint32 mod)."""
     return (h1 + jnp.uint32(table) * h2) % jnp.uint32(tablesize)
+
+
+def unpack_bases(packed, badmask, L):
+    """Unpack 2-bit base codes + validity bitmask into a [..., L] uint8 array.
+
+    `packed` [..., ceil(L/4)]: 4 bases per byte, base i in bits 2*(i%4).
+    `badmask` [..., ceil(L/8)]: numpy packbits layout (bit 7-(i%8) set for
+    invalid bases).  The 3.7x smaller wire format pays off wherever
+    host->device bandwidth matters (see kevlar_tpu.batch.pack_bases).
+    """
+    idx = np.arange(L)
+    b4 = jnp.repeat(packed, 4, axis=-1)[..., :L]
+    shifts = jnp.asarray((2 * (idx % 4)).astype(np.uint8))
+    bases = (b4 >> shifts) & jnp.uint8(3)
+    b8 = jnp.repeat(badmask, 8, axis=-1)[..., :L]
+    bits = jnp.asarray((7 - (idx % 8)).astype(np.uint8))
+    bad = (b8 >> bits) & jnp.uint8(1)
+    return jnp.where(bad == 1, jnp.uint8(4), bases)

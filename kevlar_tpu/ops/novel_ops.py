@@ -139,3 +139,29 @@ def novel_screen_compact_stack(case_tables, ctrl_tables, bases_stack,
 
     _, outs = jax.lax.scan(body, 0, (bases_stack, lengths_stack))
     return outs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('ksize', 'casemin', 'ctrlmax', 'screen', 'numbands',
+                     'band', 'max_hits', 'L'))
+def novel_screen_compact_stack_packed(case_tables, ctrl_tables, packed_stack,
+                                      badmask_stack, lengths_stack, L, ksize,
+                                      casemin, ctrlmax, screen=None,
+                                      numbands=None, band=None,
+                                      max_hits=32768):
+    """Stacked compacted screen over the 2-bit wire format."""
+    from kevlar_tpu.ops import hashing as _h
+
+    def body(carry, inp):
+        packed, badmask, lengths = inp
+        bases = _h.unpack_bases(packed, badmask, L)
+        outs = novel_screen_compact(
+            case_tables, ctrl_tables, bases, lengths, ksize=ksize,
+            casemin=casemin, ctrlmax=ctrlmax, screen=screen,
+            numbands=numbands, band=band, max_hits=max_hits)
+        return carry, outs
+
+    _, outs = jax.lax.scan(body, 0,
+                           (packed_stack, badmask_stack, lengths_stack))
+    return outs

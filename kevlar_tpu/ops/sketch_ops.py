@@ -109,6 +109,34 @@ def consume_batch_stack(tables, bases_stack, ksize, maxcount, numbands=None,
     return new_tables
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=('ksize', 'maxcount', 'L', 'numbands', 'band',
+                     'mask_threshold', 'consume_masked', 'has_mask'),
+    donate_argnames=('tables',))
+def consume_batch_stack_packed(tables, packed_stack, badmask_stack, L, ksize,
+                               maxcount, numbands=None, band=None,
+                               mask_tables=None, has_mask=False,
+                               mask_threshold=0, consume_masked=False):
+    """Stacked consume over the 2-bit wire format (3.7x less H2D traffic);
+    bases are unpacked on-device per scan step."""
+    def body(tbl, inp):
+        packed, badmask = inp
+        bases = hashing.unpack_bases(packed, badmask, L)
+        h1, h2, valid = hashing.kmer_hashes(bases, ksize)
+        if numbands:
+            valid = valid & ((h1 & jnp.uint32(numbands - 1))
+                             == jnp.uint32(band))
+        if has_mask:
+            valid = _apply_mask_screen(mask_tables, h1, h2, valid,
+                                       mask_threshold, consume_masked)
+        return _consume_hashes(tbl, h1, h2, valid, maxcount), None
+
+    new_tables, _ = jax.lax.scan(body, tables,
+                                 (packed_stack, badmask_stack))
+    return new_tables
+
+
 @functools.partial(jax.jit, static_argnames=('maxcount',),
                    donate_argnames=('tables',))
 def consume_hash_batch(tables, h1, h2, valid, maxcount):
