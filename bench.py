@@ -74,58 +74,42 @@ def device_pipeline(case_reads, ctrl_reads_list):
     from kevlar_tpu.sketch import Sketch
     from kevlar_tpu.ops import novel_ops
 
-    from kevlar_tpu.batch import pack_bases
-    from kevlar_tpu.ops import sketch_ops
-
     sketches = [Sketch(KSIZE, TABLESIZE, 4, counter_bits=8)
                 for _ in range(1 + len(ctrl_reads_list))]
     all_reads = [case_reads] + ctrl_reads_list
-    # host-side marshalling into the 2-bit wire format (timed separately;
-    # in the real pipeline this happens in the native parser thread)
-    t0 = time.time()
     stacks = [stack_all(r) for r in all_reads]
-    packed = [pack_bases(s) for s in stacks]
-    marshal_s = time.time() - t0
-    print('# bench: host marshal/pack {:.2f}s'.format(marshal_s),
-          file=sys.stderr, flush=True)
 
     # warmup: compile stacked consume + screen
     print('# bench: compiling consume kernel...', file=sys.stderr,
           flush=True)
-    p0, b0 = packed[0]
-    sketches[0].tables = sketch_ops.consume_batch_stack_packed(
-        sketches[0].tables, jnp.asarray(p0), jnp.asarray(b0), L=PADLEN,
-        ksize=KSIZE, maxcount=255)
+    sketches[0].consume_batch_stack(stacks[0])
     print('# bench: compiling screen kernel...', file=sys.stderr,
           flush=True)
     NB = stacks[0].shape[0]
     lens_w = jnp.full((NB, BATCH), READLEN, dtype=jnp.int32)
-    novel_ops.novel_screen_compact_stack_packed(
+    novel_ops.novel_screen_compact_stack(
         (sketches[0].tables,),
         tuple(s.tables for s in sketches[1:]),
-        jnp.asarray(p0), jnp.asarray(b0), lens_w, L=PADLEN, ksize=KSIZE,
-        casemin=CASEMIN, ctrlmax=CTRLMAX)
+        jnp.asarray(stacks[0]), lens_w, ksize=KSIZE, casemin=CASEMIN,
+        ctrlmax=CTRLMAX)
     # reset the warmed sketch
     sketches[0] = Sketch(KSIZE, TABLESIZE, 4, counter_bits=8)
     print('# bench: compiled; timing device pipeline', file=sys.stderr,
           flush=True)
 
     t0 = time.time()
-    for sk, (p, bm) in zip(sketches, packed):
-        sk.tables = sketch_ops.consume_batch_stack_packed(
-            sk.tables, jnp.asarray(p), jnp.asarray(bm), L=PADLEN,
-            ksize=KSIZE, maxcount=255)
+    for sk, stack in zip(sketches, stacks):
+        sk.consume_batch_stack(stack)
     case_tables = (sketches[0].tables,)
     ctrl_tables = tuple(s.tables for s in sketches[1:])
     # stacked compact screen: one dispatch for the whole case sample
     lens = np.full((NB, BATCH), READLEN, np.int32)
     nvalid = len(case_reads)
     lens.reshape(-1)[nvalid:] = 0
-    p0, b0 = packed[0]
     hit_idx, hit_abunds, n_hits, discard, skip = \
-        novel_ops.novel_screen_compact_stack_packed(
-            case_tables, ctrl_tables, jnp.asarray(p0), jnp.asarray(b0),
-            jnp.asarray(lens), L=PADLEN, ksize=KSIZE, casemin=CASEMIN,
+        novel_ops.novel_screen_compact_stack(
+            case_tables, ctrl_tables, jnp.asarray(stacks[0]),
+            jnp.asarray(lens), ksize=KSIZE, casemin=CASEMIN,
             ctrlmax=CTRLMAX)
     n_interesting = int(jnp.sum(n_hits))
     elapsed = time.time() - t0

@@ -42,8 +42,10 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
             while len(stack) < stack_depth:  # pad: one compiled stack shape
                 stack.append(np.full_like(stack[0], 4))
             stacked = np.stack(stack)
+            import os
             if getattr(sketch, 'backend', 'device') == 'device' \
-                    and mask is None and not numbands:
+                    and mask is None and not numbands \
+                    and os.environ.get('KEVLAR_PACKED_WIRE'):
                 # 2-bit wire format: 3.7x less host->device traffic
                 from kevlar_tpu.batch import pack_bases
                 from kevlar_tpu.ops import sketch_ops
