@@ -34,15 +34,27 @@ def alac(pstream, refrfile, threads=1, ksize=31, maxreads=10000, delta=50,
     for partid, gdna in targeter:
         targets_by_partition[partid].append(gdna)
 
-    calls = []
-    for partid in sorted(targets_by_partition):
+    def call_partition(partid):
         gdnalist = targets_by_partition[partid]
         contigs = contigs_by_partition[partid]
-        caller = call_mod.call(
+        return list(call_mod.call(
             gdnalist, contigs, partid, match=match, mismatch=mismatch,
             gapopen=gapopen, gapextend=gapextend, ksize=ksize,
-            refrfile=refrfile, maxtargetlen=maxtargetlen)
-        calls.extend(caller)
+            refrfile=refrfile, maxtargetlen=maxtargetlen))
+
+    partids = sorted(targets_by_partition)
+    calls = []
+    if threads and threads > 1:
+        # the native aligner releases the GIL during the DP, so partitions
+        # genuinely align in parallel (the reference advertises --threads
+        # but runs serially, cli/alac.py:92-94 vs alac.py:19-67)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            for partcalls in pool.map(call_partition, partids):
+                calls.extend(partcalls)
+    else:
+        for partid in partids:
+            calls.extend(call_partition(partid))
     calls = sorted(calls, key=lambda c: (c.seqid, c.position))
     if maskfile:
         kevlar_tpu.plog('[kevlar::alac] generating mask of variant-spanning '
