@@ -338,6 +338,9 @@ def parser():
                    help='log file for diagnostic messages')
     p.add_argument('--tee', action='store_true',
                    help='write diagnostics to logfile AND terminal (stderr)')
+    p.add_argument('--profile', metavar='DIR', default=None,
+                   help='capture an XLA/jax profiler trace of this run into '
+                   'DIR (view with tensorboard or xprof)')
     subparsers = p.add_subparsers(dest='cmd', metavar='cmd',
                                   help='"' + subcommandstr + '"')
     for func in SUBPARSER_FUNCS.values():
@@ -351,6 +354,12 @@ def parse_args(arglist=None):
     if args.logfile and args.logfile != '-':
         kevlar_tpu.logstream = kevlar_tpu.open(args.logfile, 'w')
     kevlar_tpu.teelog = args.tee
+    if getattr(args, 'profile', None):
+        import atexit
+        import jax
+        jax.profiler.start_trace(args.profile)
+        atexit.register(jax.profiler.stop_trace)
+        kevlar_tpu.plog('[kevlar] profiler trace ->', args.profile)
     return args
 
 

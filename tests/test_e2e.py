@@ -35,6 +35,9 @@ def pipeline_calls(tmp_path_factory):
     head = next(b for b in 'ACGT' if b != genome[3300] and b != tail)
     ins = head + 'GATTACA' + tail
     child = simdata.apply_insertion(child, 3300, ins)
+    # de novo 7 bp deletion at 4200 (after the insertion in coordinates,
+    # so genome coordinates 4200.. shift by len(ins) in child space only)
+    child = simdata.apply_deletion(child, 4200 + len(ins), 7)
 
     child_reads = simdata.tiled_reads(child, readlen=100, step=5,
                                       prefix='child')
@@ -83,11 +86,21 @@ def test_pipeline_finds_insertion(pipeline_calls):
         [(c.position, c._refr, c._alt) for c in inss]
 
 
+def test_pipeline_finds_deletion(pipeline_calls):
+    d = pipeline_calls
+    passing = [c for c in d['calls'] if c.filterstr == 'PASS']
+    dels = [c for c in passing if len(c._refr) > len(c._alt)]
+    # left-aligned deletion of genome[4200:4207] anchored at 4199
+    assert any(c.seqid == 'chr1' and len(c._refr) == 8 and
+               4190 <= c.position <= 4200 for c in dels), \
+        [(c.position, c._refr, c._alt) for c in dels]
+
+
 def test_pipeline_no_spurious_passing_calls(pipeline_calls):
     d = pipeline_calls
     passing = [c for c in d['calls'] if c.filterstr == 'PASS']
-    # exactly the two engineered variants
-    assert len(passing) == 2, \
+    # exactly the three engineered variants
+    assert len(passing) == 3, \
         [(c.position, c._refr, c._alt, c.filterstr) for c in passing]
 
 

@@ -65,3 +65,34 @@ def test_multiple_records_stream():
     assert len(recs[0].annotations) == 1
     assert recs[0].annotations[0].abund == (6,)
     assert len(recs[1].annotations) == 0
+
+
+def test_augmented_fastx_fuzz_roundtrip():
+    """Property: random annotated records survive write->parse unchanged."""
+    import random
+    from tests import simdata
+    rng = random.Random(2026)
+    for trial in range(25):
+        L = rng.randint(30, 120)
+        seq = simdata.make_genome(rng, L)
+        fastq = rng.random() < 0.5
+        rec = Record(name='r{} extra meta'.format(trial), sequence=seq,
+                     quality=('I' * L) if fastq else None)
+        k = rng.randint(11, min(31, L))
+        nann = rng.randint(0, 4)
+        offsets = sorted(rng.sample(range(L - k + 1), min(nann, L - k + 1)))
+        for off in offsets:
+            nab = rng.randint(1, 4)
+            rec.annotate(seq[off:off + k], off,
+                         tuple(rng.randint(0, 255) for _ in range(nab)))
+        if rng.random() < 0.3:
+            rec.add_mate(simdata.make_genome(rng, 40))
+        out = io.StringIO()
+        print_augmented_fastx(rec, out)
+        got = list(parse_augmented_fastx(io.StringIO(out.getvalue())))[0]
+        assert got.name == rec.name
+        assert got.sequence == rec.sequence
+        assert got.quality == rec.quality
+        assert [(a.ksize, a.offset, a.abund) for a in got.annotations] == \
+            [(a.ksize, a.offset, a.abund) for a in rec.annotations]
+        assert got.mates == rec.mates
