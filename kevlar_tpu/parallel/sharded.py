@@ -228,14 +228,16 @@ class ShardedSketch:
                 [bases, np.full((pad, bases.shape[1]), 4, np.uint8)])
         return bases
 
-    def query_batch(self, bases):
-        """Counts for every window of a [B, L] batch (gathered to host)."""
+    def _query_fn(self):
+        cache = getattr(self, '_fn_cache', None)
+        if cache is None:
+            cache = self._fn_cache = {}
+        if 'query' in cache:
+            return cache['query']
         mesh = self.mesh
         ksize = self._ksize
         shard_size, total, ntables = \
             self.shard_size, self.tablesize, self.ntables
-        bases = self._pad_rows(np.asarray(bases))
-        B = bases.shape[0]
 
         @jax.jit
         @functools.partial(
@@ -248,8 +250,18 @@ class ShardedSketch:
                                    ntables)
             return jnp.where(valid, counts, jnp.uint8(0)), valid
 
-        counts, valid = query(self.tables, bases)
+        cache['query'] = query
+        return query
+
+    def query_batch(self, bases):
+        """Counts for every window of a [B, L] batch (gathered to host)."""
+        bases = self._pad_rows(np.asarray(bases))
+        B = bases.shape[0]
+        counts, valid = self._query_fn()(self.tables, bases)
         return np.asarray(counts)[:B], np.asarray(valid)[:B]
+
+
+_screen_fn_cache = {}
 
 
 def sharded_novel_screen(mesh, case_sketches, ctrl_sketches, bases, lengths,
@@ -276,6 +288,17 @@ def sharded_novel_screen(mesh, case_sketches, ctrl_sketches, bases, lengths,
         lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
 
     table_specs = tuple(P(None, 'shard') for _ in range(n_case + n_ctrl))
+
+    fn_key = (mesh, ksize, shard_size, total, ntables, n_case, n_ctrl,
+              casemin, ctrlmax, screen)
+    if fn_key in _screen_fn_cache:
+        _screen_step = _screen_fn_cache[fn_key]
+        all_tables = tuple(s.tables for s in case_sketches) + \
+            tuple(s.tables for s in ctrl_sketches)
+        interesting, abunds, discard, skip = _screen_step(
+            all_tables, bases, lengths)
+        return (np.asarray(interesting)[:B], np.asarray(abunds)[:, :B],
+                np.asarray(discard)[:B], np.asarray(skip)[:B])
 
     @jax.jit
     @functools.partial(
@@ -318,6 +341,7 @@ def sharded_novel_screen(mesh, case_sketches, ctrl_sketches, bases, lengths,
         abunds = jnp.concatenate([case_counts, ctrl_counts], axis=0)
         return interesting, abunds, discard, skip
 
+    _screen_fn_cache[fn_key] = _screen_step
     all_tables = tuple(s.tables for s in case_sketches) + \
         tuple(s.tables for s in ctrl_sketches)
     interesting, abunds, discard, skip = _screen_step(all_tables, bases,
