@@ -98,10 +98,7 @@ def device_pipeline(case_reads, ctrl_reads_list):
           flush=True)
 
     t0 = time.time()
-    # async transfers: all sample stacks start moving to HBM immediately and
-    # overlap with the consume dispatches
-    dev_stacks = [jax.device_put(s) for s in stacks]
-    for sk, stack in zip(sketches, dev_stacks):
+    for sk, stack in zip(sketches, stacks):
         sk.consume_batch_stack(stack)
     case_tables = (sketches[0].tables,)
     ctrl_tables = tuple(s.tables for s in sketches[1:])
@@ -111,7 +108,7 @@ def device_pipeline(case_reads, ctrl_reads_list):
     lens.reshape(-1)[nvalid:] = 0
     hit_idx, hit_abunds, n_hits, discard, skip = \
         novel_ops.novel_screen_compact_stack(
-            case_tables, ctrl_tables, dev_stacks[0],
+            case_tables, ctrl_tables, jnp.asarray(stacks[0]),
             jnp.asarray(lens), ksize=KSIZE, casemin=CASEMIN,
             ctrlmax=CTRLMAX)
     n_interesting = int(jnp.sum(n_hits))
