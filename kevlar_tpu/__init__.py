@@ -124,7 +124,7 @@ _STAGE_MODULES = (
     'augment', 'localize', 'reference', 'call', 'varmap', 'cigar', 'alac',
     'varfilter', 'simlike', 'dist', 'gentrio', 'mutate', 'evaluate', 'vcf',
     'readgraph', 'readpair', 'intervalforest', 'mutablestring', 'cli',
-    'ops', 'parallel',
+    'ops', 'parallel', 'workflow', 'workflows', 'native',
 )
 
 
