@@ -5,6 +5,7 @@ Flag names, defaults, and semantics follow /root/reference/kevlar/cli/*
 """
 
 import argparse
+import os
 import re
 import sys
 
@@ -369,4 +370,16 @@ def main(arglist=None):
         parser().parse_args(['-h'])
         return
     mainmethod = mains()[args.cmd]
-    mainmethod(args)
+    try:
+        mainmethod(args)
+    except BrokenPipeError:
+        sys.exit(0)
+    except (ValueError, OSError) as err:
+        # friendly one-line error instead of a traceback; set KEVLAR_DEBUG
+        # for the full stack (KevlarUnsuitableFPRError subclasses SystemExit
+        # and passes through untouched)
+        if os.environ.get('KEVLAR_DEBUG'):
+            raise
+        print('[kevlar::{}] error: {}'.format(args.cmd, err),
+              file=sys.stderr)
+        sys.exit(1)

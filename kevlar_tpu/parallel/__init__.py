@@ -9,5 +9,6 @@ count increments all-reduce over 'data', and lookups min-reduce over 'shard'
 — one pass, ICI collectives instead of N-fold re-runs.
 """
 
-from kevlar_tpu.parallel.mesh import make_mesh, device_grid
+from kevlar_tpu.parallel.mesh import (make_mesh, device_grid,
+                                      init_distributed)
 from kevlar_tpu.parallel.sharded import ShardedSketch, sharded_novel_screen

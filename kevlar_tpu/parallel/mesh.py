@@ -28,3 +28,18 @@ def make_mesh(n_data=None, n_shard=None, devices=None):
     n_data, n_shard, devices = device_grid(n_data, n_shard, devices)
     grid = np.array(devices).reshape(n_data, n_shard)
     return Mesh(grid, ('data', 'shard'))
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None, **kwargs):
+    """Initialize multi-host execution (DCN across hosts, ICI within).
+
+    Thin wrapper over ``jax.distributed.initialize``; with no arguments the
+    standard cluster environment variables are used.  After initialization,
+    ``make_mesh`` spans every host's devices and the sharded pipeline runs
+    unchanged — the mesh program is identical on 1 host and N hosts.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id, **kwargs)
+    return jax.devices()
