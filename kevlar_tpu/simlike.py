@@ -104,16 +104,64 @@ def abund_log_prob(genotype, abundance, refrabund=None, mean=30.0, sd=8.0,
         return norm_logpdf(abundance, mean, sd)
 
 
+# ---------------------------------------------------------------------------
+# Vectorised likelihood sums (numpy): identical math to abund_log_prob,
+# evaluated across all k-mers at once.  The scalar abund_log_prob remains the
+# reference implementation (golden-value tests); tests/test_simlike.py checks
+# the vectorised paths against it.
+# ---------------------------------------------------------------------------
+
+import functools
+
+import numpy as _np
+
+
+@functools.lru_cache(maxsize=1 << 16)
+def _lgamma_cached(x):
+    return lgamma(x)
+
+
+_lgamma_vec = _np.vectorize(_lgamma_cached, otypes=[float])
+
+
+def _lp0_vec(abunds, refrabunds, mean, error):
+    """Vectorised genotype-0 log-probabilities.
+
+    refrabunds entries of None/0 trigger INDEL mode (refrabund=1, error*0.01)
+    per-element, matching the scalar code.
+    """
+    a = _np.asarray(abunds, dtype=float)
+    r = _np.array([0.0 if x is None else float(x) for x in refrabunds])
+    indel = r == 0.0
+    r = _np.where(indel, 1.0, r)
+    err = _np.where(indel, error * 0.01, error)
+    scaledmean = mean * r
+    a = _np.minimum(a, scaledmean)
+    nck = (_lgamma_vec(scaledmean + 1.0) - _lgamma_vec(a + 1.0)
+           - _lgamma_vec(scaledmean - a + 1.0))
+    return nck + a * _np.log(err) + (scaledmean - a) * _np.log(1.0 - err)
+
+
+def _lp_het_vec(abunds, mean, sd):
+    a = _np.asarray(abunds, dtype=float)
+    z = (a - mean / 2) / (sd / 2)
+    return -0.5 * z * z - _np.log(sd / 2) - 0.5 * LOG_2PI
+
+
+def _lp_hom_vec(abunds, mean, sd):
+    a = _np.asarray(abunds, dtype=float)
+    z = (a - mean) / sd
+    return -0.5 * z * z - _np.log(sd) - 0.5 * LOG_2PI
+
+
 def likelihood_denovo(abunds, refrabunds, mean=30.0, sd=8.0, error=0.001):
     assert len(abunds[1]) == len(refrabunds)
     assert len(abunds[2]) == len(refrabunds)
-    logsum = 0.0
-    for abund in abunds[0]:
-        logsum += abund_log_prob(1, abund, mean=mean, sd=sd)
+    if len(abunds[0]) == 0:
+        return 0.0
+    logsum = float(_np.sum(_lp_het_vec(abunds[0], mean, sd)))
     for altabunds in abunds[1:]:
-        for alt, refr in zip(altabunds, refrabunds):
-            logsum += abund_log_prob(0, alt, refrabund=refr, mean=mean,
-                                     error=error)
+        logsum += float(_np.sum(_lp0_vec(altabunds, refrabunds, mean, error)))
     return logsum
 
 
@@ -122,9 +170,9 @@ def likelihood_false(abunds, refrabunds, mean=30.0, error=0.001):
     assert len(abunds[2]) == len(refrabunds)
     logsum = 0.0
     for altabunds in abunds:
-        for alt, refr in zip(altabunds, refrabunds):
-            logsum += abund_log_prob(0, alt, refrabund=refr, mean=mean,
-                                     error=error)
+        if len(altabunds):
+            logsum += float(_np.sum(_lp0_vec(altabunds, refrabunds, mean,
+                                             error)))
     return logsum
 
 
@@ -138,18 +186,28 @@ INHERITANCE_SCENARIOS = [
 
 
 def likelihood_inherited(abunds, mean=30.0, sd=8.0, error=0.001):
-    """Max-likelihood inheritance scenario per k-mer (trios only)."""
-    logsum = 0.0
-    for a_c, a_m, a_f in zip(abunds[0], abunds[1], abunds[2]):
-        maxval = None
-        for g_c, g_m, g_f in INHERITANCE_SCENARIOS:
-            p_c = abund_log_prob(g_c, a_c, mean=mean, sd=sd, error=error)
-            p_m = abund_log_prob(g_m, a_m, mean=mean, sd=sd, error=error)
-            p_f = abund_log_prob(g_f, a_f, mean=mean, sd=sd, error=error)
-            testsum = p_c + p_m + p_f + log(1.0 / 15.0)
-            if maxval is None or testsum > maxval:
-                maxval = testsum
-        logsum += maxval
+    """Max-likelihood inheritance scenario per k-mer (trios only),
+    vectorised over (k-mer, scenario)."""
+    K = len(abunds[0])
+    if K == 0:
+        return log(15.0 / 11.0)
+    # per-person log-probs for genotypes 0/1/2: [3 genotypes, K]
+    per_person = []
+    for a in (abunds[0], abunds[1], abunds[2]):
+        # genotype 0 with no refrabund: the scalar code's "INDEL mode"
+        # (refrabund=1, error*0.01) — parity with the reference, which never
+        # passes refrabund in the inheritance scan (simlike.py:688-690)
+        none_refr = [None] * len(a)
+        lp = _np.stack([
+            _lp0_vec(a, none_refr, mean, error),
+            _lp_het_vec(a, mean, sd),
+            _lp_hom_vec(a, mean, sd),
+        ])
+        per_person.append(lp)
+    scen = _np.asarray(INHERITANCE_SCENARIOS)  # [S, 3]
+    totals = (per_person[0][scen[:, 0]] + per_person[1][scen[:, 1]]
+              + per_person[2][scen[:, 2]]) + log(1.0 / 15.0)  # [S, K]
+    logsum = float(_np.sum(_np.max(totals, axis=0)))
     return log(15.0 / 11.0) + logsum
 
 

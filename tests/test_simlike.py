@@ -184,3 +184,50 @@ def test_simlike_partition_best_call_wins(scoring_trio):
     assert by_pos[p].attribute('CALLCLASS') == '7'
     assert 'PartitionScore' in by_pos[p + 500].filterstr or \
         'PassengerVariant' in by_pos[p + 500].filterstr
+
+
+def test_vectorised_likelihoods_match_scalar():
+    """The numpy-vectorised likelihood sums must match per-k-mer scalar
+    evaluation via abund_log_prob."""
+    import math
+    rng = random.Random(2027)
+    for trial in range(10):
+        K = rng.randint(1, 40)
+        case = [rng.randint(0, 40) for _ in range(K)]
+        mom = [rng.randint(0, 6) for _ in range(K)]
+        dad = [rng.randint(0, 6) for _ in range(K)]
+        if rng.random() < 0.5:
+            refr = [rng.randint(1, 4) for _ in range(K)]   # SNV mode
+        else:
+            refr = [None] * K                               # indel mode
+        abunds = [case, mom, dad]
+        mu, sd, eps = 25.0, 7.0, 0.001
+
+        lldn = likelihood_denovo(abunds, refr, mean=mu, sd=sd, error=eps)
+        ref_dn = sum(abund_log_prob(1, a, mean=mu, sd=sd) for a in case)
+        for alist in (mom, dad):
+            ref_dn += sum(abund_log_prob(0, a, refrabund=r, mean=mu,
+                                         error=eps)
+                          for a, r in zip(alist, refr))
+        assert lldn == pytest.approx(ref_dn, rel=1e-9)
+
+        llfp = likelihood_false(abunds, refr, mean=mu, error=eps)
+        ref_fp = sum(
+            abund_log_prob(0, a, refrabund=r, mean=mu, error=eps)
+            for alist in abunds for a, r in zip(alist, refr))
+        assert llfp == pytest.approx(ref_fp, rel=1e-9)
+
+        llih = likelihood_inherited(abunds, mean=mu, sd=sd, error=eps)
+        from kevlar_tpu.simlike import INHERITANCE_SCENARIOS
+        ref_ih = 0.0
+        for ac, am, ad in zip(case, mom, dad):
+            best = None
+            for gc, gm, gf in INHERITANCE_SCENARIOS:
+                t = (abund_log_prob(gc, ac, mean=mu, sd=sd, error=eps)
+                     + abund_log_prob(gm, am, mean=mu, sd=sd, error=eps)
+                     + abund_log_prob(gf, ad, mean=mu, sd=sd, error=eps)
+                     + math.log(1 / 15))
+                best = t if best is None or t > best else best
+            ref_ih += best
+        ref_ih += math.log(15 / 11)
+        assert llih == pytest.approx(ref_ih, rel=1e-9)
