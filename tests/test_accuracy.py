@@ -35,7 +35,7 @@ def _haplotypes(genome, variants, individual):
     return [str(h) for h in haplo]
 
 
-def _noisy_reads(rng, haplos, readlen, step, prefix, error_rate=0.001):
+def _noisy_reads(rng, haplos, readlen, step, prefix, error_rate=0.01):
     reads = []
     n = 0
     for h, seq in enumerate(haplos):

@@ -117,3 +117,22 @@ def test_native_count_path_matches_python(tmp_path):
     assert n1 == n2 == len(reads)
     np.testing.assert_array_equal(np.asarray(s_native.tables),
                                   np.asarray(s_python.tables))
+
+
+def test_native_assemble_error_tolerant_consensus():
+    """1% sequencing errors: pileup consensus still recovers the exact
+    locus sequence (fermi-lite's BFC-correction analog)."""
+    rng = random.Random(99)
+    g = simdata.make_genome(rng, 400)
+
+    def noisy(seq):
+        s = list(seq)
+        for i in range(len(s)):
+            if rng.random() < 0.01:
+                s[i] = rng.choice([b for b in 'ACGT' if b != s[i]])
+        return ''.join(s)
+
+    reads = [noisy(g[s:s + 100]) for s in range(0, 301, 4)]
+    contigs = list(native.assemble(reads, min_overlap=45))
+    best = max(contigs, key=len)
+    assert best == g or dna.revcom(best) == g
