@@ -142,3 +142,57 @@ def test_strict_mode_excludes_bad_overlap():
     assert parts == []
     parts_relaxed = list(partition(iter(reads)))
     assert len(parts_relaxed) == 1
+
+
+def test_readpair_tiebreak_by_read_length():
+    """Equal k-mer offsets in all arrangements -> longer read is tail."""
+    shared = 'GATCGATCGGACT'
+    long_read = 'AAAA' + shared + 'TTTTTTT'      # offset 4, len 24
+    short_read = 'CCCC' + shared + 'GGG'         # offset 4, len 20
+    r1 = Record('r1', long_read)
+    r1.annotate(shared, 4, (9,))
+    r2 = Record('r2', short_read)
+    r2.annotate(shared, 4, (9,))
+    pair = ReadPair(r1, r2, shared)
+    assert pair.tail.name == 'r1'
+    assert pair.head.name == 'r2'
+
+
+def test_readpair_tiebreak_by_name():
+    """Equal offsets and equal lengths -> lexicographically smaller name.
+
+    The k-mer must sit exactly mid-read (offset == rc-offset) so that both
+    strand arrangements tie on offset and the name rule applies."""
+    shared = 'GATCGATCGGACT'
+    seq_a = 'AAAA' + shared + 'TTTT'
+    seq_b = 'CCCC' + shared + 'GGGG'
+    r1 = Record('zeta', seq_a)
+    r1.annotate(shared, 4, (9,))
+    r2 = Record('alpha', seq_b)
+    r2.annotate(shared, 4, (9,))
+    pair = ReadPair(r1, r2, shared)
+    assert pair.tail.name == 'alpha'
+    assert pair.head.name == 'zeta'
+
+
+def test_readpair_multiple_kmer_occurrence_incompatible():
+    shared = 'GATCGATCGGACT'
+    seq = shared + 'TT' + shared  # k-mer occurs twice
+    r1 = Record('r1', seq)
+    r1.annotate(shared, 0, (9,))
+    r2 = Record('r2', 'AA' + shared + 'CC')
+    r2.annotate(shared, 2, (9,))
+    pair = ReadPair(r1, r2, shared)
+    assert pair.incompatible
+
+
+def test_readpair_str_smoke():
+    shared = 'GATCGATCGGACT'
+    r1 = Record('r1', 'ACGTACG' + shared + 'A')
+    r1.annotate(shared, 7, (9,))
+    r2 = Record('r2', shared + 'ATTTTT')
+    r2.annotate(shared, 0, (9,))
+    pair = ReadPair(r1, r2, shared)
+    assert not pair.incompatible
+    text = str(pair)
+    assert '|' * len(shared) in text
