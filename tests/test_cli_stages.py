@@ -162,3 +162,43 @@ def test_simlike_fast_mode_and_outliers():
                        sigma=3.0, dropoutliers=True))
     assert out[0].filterstr == 'PASS'
     assert out[0].attribute('LIKESCORE') > 0
+
+
+def test_dist_cli(tmp_path, trio_files, capsys):
+    """dist CLI: mask of genome k-mers, JSON mu/sigma + TSV output."""
+    import json
+    from kevlar_tpu.sketch import Sketch
+    d = str(tmp_path)
+    genome = trio_files['genome']
+    mask = Sketch(K, 100003, 4, counter_bits=1)
+    mask.consume(genome)
+    maskfile = os.path.join(d, 'mask.nt')
+    mask.save(maskfile)
+    tsv = os.path.join(d, 'dist.tsv')
+    args = parse_args(['dist', '-k', str(K), '-M', '4M', '--tsv', tsv,
+                       maskfile, trio_files['mom']])
+    mains()['dist'](args)
+    out = capsys.readouterr().out
+    stats = json.loads(out.strip().splitlines()[-1])
+    # tiled coverage of mom reads is 10x
+    assert 7 < stats['mu'] < 11
+    assert os.path.exists(tsv)
+    header = open(tsv).readline().split('\t')
+    assert header[0] == 'Abundance'
+
+
+def test_empty_novel_output_pipeline(tmp_path):
+    """No novel k-mers (case == control): downstream stages stay clean."""
+    rng = random.Random(5150)
+    genome = simdata.make_genome(rng, 1500)
+    fq = str(tmp_path / 'same.fq')
+    simdata.write_fastq(simdata.tiled_reads(genome, 100, 10, 's'), fq)
+    out = str(tmp_path / 'novel.augfastq')
+    args = parse_args(['novel', '-k', str(K), '-M', '2M', '--case', fq,
+                       '--control', fq, '--case-min', '6', '--ctrl-max', '0',
+                       '-o', out])
+    mains()['novel'](args)
+    assert open(out).read() == ''
+    part = str(tmp_path / 'part.augfastq')
+    mains()['partition'](parse_args(['partition', '-o', part, out]))
+    assert open(part).read() == ''
