@@ -33,7 +33,7 @@ def _kernel_factory(T, Q, match, mismatch, gapoe, gape):
         tlen = tlen_ref[0]
         qlen = qlen_ref[0]
         ii = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-        tcodes = target_ref[:].astype(jnp.int32)
+        tcodes = target_ref[0].astype(jnp.int32)
 
         neg = jnp.full((1, T), NEG_INF, jnp.int32)
         h_prev[:] = neg
@@ -70,7 +70,7 @@ def _kernel_factory(T, Q, match, mismatch, gapoe, gape):
 
             # qd[i] = query[d - i] via one contiguous slice of the
             # reversed+padded query buffer (qrbuf[y] = qext[K - y])
-            qd = qrbuf_ref[:, pl.ds(K - d, T)].astype(jnp.int32)
+            qd = qrbuf_ref[0, :, pl.ds(K - d, T)].astype(jnp.int32)
             sub_diag = jnp.where(
                 (tcodes >= 4) | (qd >= 4), 0,
                 jnp.where(tcodes == qd, a, b)).astype(jnp.int32)
@@ -141,9 +141,12 @@ def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
         num_scalar_prefetch=2,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, T), lambda b, tl, ql: (b, 0),
+            # singleton sublane axis keeps Mosaic's (8, 128) tiling rule
+            # satisfied: last-two block dims equal the array dims
+            pl.BlockSpec((1, 1, T), lambda b, tl, ql: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * T + Q - 1), lambda b, tl, ql: (b, 0),
+            pl.BlockSpec((1, 1, 2 * T + Q - 1),
+                         lambda b, tl, ql: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -168,7 +171,8 @@ def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
             jax.ShapeDtypeStruct((B, ndiag, T), jnp.uint8),
         ],
         interpret=interpret,
-    )(tlens.astype(jnp.int32), qlens.astype(jnp.int32), targets, qrbuf)
+    )(tlens.astype(jnp.int32), qlens.astype(jnp.int32),
+      targets[:, None, :], qrbuf[:, None, :])
     return scores[:, 0], zdiags
 
 
