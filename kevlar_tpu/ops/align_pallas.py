@@ -29,7 +29,7 @@ def _kernel_factory(T, Q, match, mismatch, gapoe, gape):
     b = int(mismatch if mismatch < 0 else -mismatch)
 
     def kernel(tlen_ref, qlen_ref, target_ref, qrbuf_ref, score_ref,
-               zdiag_ref, h_prev, h_prev2, e_prev, f_prev):
+               zdiag_ref, h_prev, h_prev2, e_prev, f_prev, score_s):
         tlen = tlen_ref[0]
         qlen = qlen_ref[0]
         ii = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
@@ -40,7 +40,7 @@ def _kernel_factory(T, Q, match, mismatch, gapoe, gape):
         h_prev2[:] = neg
         e_prev[:] = neg
         f_prev[:] = neg
-        score_ref[0] = NEG_INF
+        score_s[0] = NEG_INF
 
         def shift1(v):
             """v[i] -> v[i-1], with NEG_INF entering at i == 0."""
@@ -96,7 +96,7 @@ def _kernel_factory(T, Q, match, mismatch, gapoe, gape):
 
             @pl.when(d == (tlen + qlen - 2))
             def _():
-                score_ref[0] = final_h
+                score_s[0] = final_h
 
             h_prev2[:] = H_prev
             h_prev[:] = h
@@ -105,6 +105,7 @@ def _kernel_factory(T, Q, match, mismatch, gapoe, gape):
             return 0
 
         jax.lax.fori_loop(0, ndiag, body, 0)
+        score_ref[:] = jnp.full((1, 128), score_s[0], jnp.int32)
 
     return kernel
 
@@ -150,8 +151,8 @@ def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1), lambda b, tl, ql: (b, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 128), lambda b, tl, ql: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ndiag, T), lambda b, tl, ql: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -160,6 +161,7 @@ def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
             pltpu.VMEM((1, T), jnp.int32),
             pltpu.VMEM((1, T), jnp.int32),
             pltpu.VMEM((1, T), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
 
@@ -167,13 +169,13 @@ def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
         wrapped,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 128), jnp.int32),
             jax.ShapeDtypeStruct((B, ndiag, T), jnp.uint8),
         ],
         interpret=interpret,
     )(tlens.astype(jnp.int32), qlens.astype(jnp.int32),
       targets[:, None, :], qrbuf[:, None, :])
-    return scores[:, 0], zdiags
+    return scores[:, 0, 0], zdiags
 
 
 def align_batch_pallas(target_seqs, query_seqs, match=1, mismatch=2,
