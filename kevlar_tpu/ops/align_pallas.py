@@ -3,8 +3,10 @@
 Same exact ksw_extz DP as :mod:`kevlar_tpu.ops.align_ops`, but with the
 wavefront state held in VMEM scratch and one grid step per alignment pair.
 The per-diagonal substitution scores are computed without any in-kernel
-gather: the query is pre-reversed into a padded buffer so the diagonal's
-query bases ``query[d - i]`` are one contiguous dynamic slice.
+gather: the query is pre-reversed into a modular buffer so the diagonal's
+query bases ``query[d - i]`` drop out of a dynamic lane rotate
+(``pltpu.roll``) — Mosaic forbids unaligned dynamic lane slices but
+supports dynamic rotates.
 
 ``align_batch_pallas`` has the same contract as ``align_ops.align_batch``
 and is validated bit-identical against the scalar reference (interpret mode
@@ -22,9 +24,8 @@ from jax.experimental.pallas import tpu as pltpu
 from kevlar_tpu.ops.align import NEG_INF, _backtrack
 
 
-def _kernel_factory(T, Q, match, mismatch, gapoe, gape):
+def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
     ndiag = T + Q - 1
-    K = T + Q - 1  # qr buffer offset: qrbuf[y] = qext[K - y]
     a = int(match)
     b = int(mismatch if mismatch < 0 else -mismatch)
 
@@ -68,9 +69,10 @@ def _kernel_factory(T, Q, match, mismatch, gapoe, gape):
             f = jnp.maximum(F_prev - gape, H_prev - gapoe)
             f = jnp.where(jj == 0, -(gapoe + gapoe + gape * ii), f)
 
-            # qd[i] = query[d - i] via one contiguous slice of the
-            # reversed+padded query buffer (qrbuf[y] = qext[K - y])
-            qd = qrbuf_ref[0, :, pl.ds(K - d, T)].astype(jnp.int32)
+            # qd[i] = query[d - i]: vbuf[x] = qext[(-x) mod L2], so a
+            # dynamic rotate by d aligns qext[d - i] onto lane i
+            rolled = pltpu.roll(qrbuf_ref[0], d, axis=1)
+            qd = rolled[:, :T].astype(jnp.int32)
             sub_diag = jnp.where(
                 (tcodes >= 4) | (qd >= 4), 0,
                 jnp.where(tcodes == qd, a, b)).astype(jnp.int32)
@@ -119,17 +121,19 @@ def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
     B = targets.shape[0]
     ndiag = T + Q - 1
     gapoe = gapopen + gapextend
-    K = T + Q - 1
 
-    # qrbuf[b, y] = qext[b, K - y], qext = query padded with 4 outside [0, Q)
-    y = np.arange(2 * T + Q - 1)
-    src = K - y
-    valid = (src >= 0) & (src < Q)
+    # vbuf[b, x] = qext[b, (-x) mod L2] with qext = query padded by the
+    # sentinel 4 outside [0, Q); L2 >= T + Q - 1 guarantees the modular
+    # wrap always lands in sentinel territory for out-of-range d - i
+    L2 = -(-(2 * T + Q) // 128) * 128
+    x = np.arange(L2)
+    src = (-x) % L2
+    valid = src < Q
     src_clip = jnp.asarray(np.clip(src, 0, Q - 1))
     qrbuf = jnp.where(jnp.asarray(valid)[None, :],
                       queries[:, src_clip], jnp.uint8(4))
 
-    kernel = _kernel_factory(T, Q, match, mismatch, gapoe, gapextend)
+    kernel = _kernel_factory(T, Q, L2, match, mismatch, gapoe, gapextend)
 
     def wrapped(tlens_ref, qlens_ref, target_ref, qrbuf_ref, score_ref,
                 zdiag_ref, *scratch):
@@ -146,8 +150,7 @@ def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
             # satisfied: last-two block dims equal the array dims
             pl.BlockSpec((1, 1, T), lambda b, tl, ql: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2 * T + Q - 1),
-                         lambda b, tl, ql: (b, 0, 0),
+            pl.BlockSpec((1, 1, L2), lambda b, tl, ql: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
