@@ -130,8 +130,9 @@ def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
     src = (-x) % L2
     valid = src < Q
     src_clip = jnp.asarray(np.clip(src, 0, Q - 1))
+    # int32 buffer: Mosaic's dynamic rotate requires 32-bit lanes
     qrbuf = jnp.where(jnp.asarray(valid)[None, :],
-                      queries[:, src_clip], jnp.uint8(4))
+                      queries[:, src_clip], jnp.uint8(4)).astype(jnp.int32)
 
     kernel = _kernel_factory(T, Q, L2, match, mismatch, gapoe, gapextend)
 
