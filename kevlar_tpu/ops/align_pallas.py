@@ -26,11 +26,12 @@ from kevlar_tpu.ops.align import NEG_INF, _backtrack
 
 def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
     ndiag = T + Q - 1
+    ndiag32 = -(-ndiag // 32) * 32   # uint8 sublane tile is 32
     a = int(match)
     b = int(mismatch if mismatch < 0 else -mismatch)
 
     def kernel(tlen_ref, qlen_ref, target_ref, qrbuf_ref, score_ref,
-               zdiag_ref, h_prev, h_prev2, e_prev, f_prev, score_s):
+               zdiag_ref, h_prev, h_prev2, e_prev, f_prev, zbuf, score_s):
         tlen = tlen_ref[0]
         qlen = qlen_ref[0]
         ii = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
@@ -91,7 +92,15 @@ def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
             e = jnp.where(inbounds, e, jnp.int32(NEG_INF))
             f = jnp.where(inbounds, f, jnp.int32(NEG_INF))
 
-            zdiag_ref[d, :] = d0.reshape(T)
+            # buffer direction rows and flush 32-aligned chunks (Mosaic
+            # requires uint8 sublane indices to be multiples of 32)
+            row = jax.lax.broadcasted_iota(jnp.int32, (32, T), 0)
+            zbuf[:] = jnp.where(row == (d % 32), d0.reshape(1, T), zbuf[:])
+
+            @pl.when((d % 32) == 31)
+            def _():
+                base = pl.multiple_of(d - 31, 32)
+                zdiag_ref[pl.ds(base, 32), :] = zbuf[:]
 
             is_final = (ii == (tlen - 1)) & (jj == (qlen - 1))
             final_h = jnp.max(jnp.where(is_final, h, jnp.int32(NEG_INF)))
@@ -107,6 +116,9 @@ def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
             return 0
 
         jax.lax.fori_loop(0, ndiag, body, 0)
+        if ndiag % 32:
+            # flush the final partial chunk (static, aligned base)
+            zdiag_ref[pl.ds((ndiag // 32) * 32, 32), :] = zbuf[:]
         score_ref[:] = jnp.full((1, 128), score_s[0], jnp.int32)
 
     return kernel
@@ -120,6 +132,7 @@ def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
                         mismatch=2, gapopen=5, gapextend=0, interpret=False):
     B = targets.shape[0]
     ndiag = T + Q - 1
+    ndiag32 = -(-ndiag // 32) * 32
     gapoe = gapopen + gapextend
 
     # vbuf[b, x] = qext[b, (-x) mod L2] with qext = query padded by the
@@ -157,7 +170,7 @@ def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
         out_specs=[
             pl.BlockSpec((1, 1, 128), lambda b, tl, ql: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ndiag, T), lambda b, tl, ql: (b, 0, 0),
+            pl.BlockSpec((1, ndiag32, T), lambda b, tl, ql: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -165,6 +178,7 @@ def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
             pltpu.VMEM((1, T), jnp.int32),
             pltpu.VMEM((1, T), jnp.int32),
             pltpu.VMEM((1, T), jnp.int32),
+            pltpu.VMEM((32, T), jnp.uint8),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
@@ -174,7 +188,7 @@ def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, ndiag, T), jnp.uint8),
+            jax.ShapeDtypeStruct((B, ndiag32, T), jnp.uint8),
         ],
         interpret=interpret,
     )(tlens.astype(jnp.int32), qlens.astype(jnp.int32),
