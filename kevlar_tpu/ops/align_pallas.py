@@ -95,12 +95,13 @@ def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
             # buffer direction rows and flush 32-aligned chunks (Mosaic
             # requires uint8 sublane indices to be multiples of 32)
             row = jax.lax.broadcasted_iota(jnp.int32, (32, T), 0)
-            zbuf[:] = jnp.where(row == (d % 32), d0.reshape(1, T), zbuf[:])
+            zbuf[:] = jnp.where(row == (d % 32),
+                                d0.reshape(1, T).astype(jnp.int32), zbuf[:])
 
             @pl.when((d % 32) == 31)
             def _():
                 base = pl.multiple_of(d - 31, 32)
-                zdiag_ref[pl.ds(base, 32), :] = zbuf[:]
+                zdiag_ref[pl.ds(base, 32), :] = zbuf[:].astype(jnp.uint8)
 
             is_final = (ii == (tlen - 1)) & (jj == (qlen - 1))
             final_h = jnp.max(jnp.where(is_final, h, jnp.int32(NEG_INF)))
@@ -118,7 +119,8 @@ def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
         jax.lax.fori_loop(0, ndiag, body, 0)
         if ndiag % 32:
             # flush the final partial chunk (static, aligned base)
-            zdiag_ref[pl.ds((ndiag // 32) * 32, 32), :] = zbuf[:]
+            zdiag_ref[pl.ds((ndiag // 32) * 32, 32), :] = \
+                zbuf[:].astype(jnp.uint8)
         score_ref[:] = jnp.full((1, 128), score_s[0], jnp.int32)
 
     return kernel
@@ -178,7 +180,7 @@ def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
             pltpu.VMEM((1, T), jnp.int32),
             pltpu.VMEM((1, T), jnp.int32),
             pltpu.VMEM((1, T), jnp.int32),
-            pltpu.VMEM((32, T), jnp.uint8),
+            pltpu.VMEM((32, T), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
