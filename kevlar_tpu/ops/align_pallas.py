@@ -79,14 +79,16 @@ def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
                 jnp.where(tcodes == qd, a, b)).astype(jnp.int32)
 
             hdiag = hd + sub_diag
-            d0 = jnp.where(hdiag >= e, jnp.uint8(0), jnp.uint8(1))
+            # direction bits kept in int32 end-to-end: mixing i1 masks with
+            # uint8 vectors forces an unsupported Mosaic relayout
+            d0 = jnp.where(hdiag >= e, 0, 1)
             h = jnp.maximum(hdiag, e)
-            d0 = jnp.where(h >= f, d0, jnp.uint8(2))
+            d0 = jnp.where(h >= f, d0, 2)
             h = jnp.maximum(h, f)
             hh = h - gapoe
-            d0 = d0 | (((e - gape) > hh).astype(jnp.uint8) << 3)
-            d0 = d0 | (((f - gape) > hh).astype(jnp.uint8) << 4)
-            d0 = jnp.where(inbounds, d0, jnp.uint8(0))
+            d0 = d0 | (((e - gape) > hh).astype(jnp.int32) << 3)
+            d0 = d0 | (((f - gape) > hh).astype(jnp.int32) << 4)
+            d0 = jnp.where(inbounds, d0, 0).astype(jnp.int32)
 
             h = jnp.where(inbounds, h, jnp.int32(NEG_INF))
             e = jnp.where(inbounds, e, jnp.int32(NEG_INF))
@@ -95,8 +97,7 @@ def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
             # buffer direction rows and flush 32-aligned chunks (Mosaic
             # requires uint8 sublane indices to be multiples of 32)
             row = jax.lax.broadcasted_iota(jnp.int32, (32, T), 0)
-            zbuf[:] = jnp.where(row == (d % 32),
-                                d0.reshape(1, T).astype(jnp.int32), zbuf[:])
+            zbuf[:] = jnp.where(row == (d % 32), d0.reshape(1, T), zbuf[:])
 
             @pl.when((d % 32) == 31)
             def _():
