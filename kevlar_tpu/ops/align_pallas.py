@@ -35,7 +35,7 @@ def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
         tlen = tlen_ref[0]
         qlen = qlen_ref[0]
         ii = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-        tcodes = target_ref[0].astype(jnp.int32)
+        tcodes = target_ref[:].reshape(1, T).astype(jnp.int32)
 
         neg = jnp.full((1, T), NEG_INF, jnp.int32)
         h_prev[:] = neg
@@ -72,7 +72,8 @@ def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
 
             # qd[i] = query[d - i]: vbuf[x] = qext[(-x) mod L2], so a
             # dynamic rotate by d aligns qext[d - i] onto lane i
-            rolled = pltpu.roll(qrbuf_ref[0], d, axis=1)
+            qrow = qrbuf_ref[:].reshape(1, L2)
+            rolled = pltpu.roll(qrow, d, axis=1)
             qd = rolled[:, :T].astype(jnp.int32)
             sub_diag = jnp.where(
                 (tcodes >= 4) | (qd >= 4), 0,
