@@ -30,10 +30,10 @@ def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
     a = int(match)
     b = int(mismatch if mismatch < 0 else -mismatch)
 
-    def kernel(tlen_ref, qlen_ref, target_ref, qrbuf_ref, score_ref,
+    def kernel(b, tlens_ref, qlens_ref, target_ref, qrbuf_ref, score_ref,
                zdiag_ref, h_prev, h_prev2, e_prev, f_prev, zbuf, score_s):
-        tlen = tlen_ref[0]
-        qlen = qlen_ref[0]
+        tlen = tlens_ref[b]
+        qlen = qlens_ref[b]
         ii = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
         tcodes = target_ref[:].reshape(1, T).astype(jnp.int32)
 
@@ -156,9 +156,8 @@ def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
     def wrapped(tlens_ref, qlens_ref, target_ref, qrbuf_ref, score_ref,
                 zdiag_ref, *scratch):
         b = pl.program_id(0)
-        kernel(tlens_ref.at[pl.ds(b, 1)], qlens_ref.at[pl.ds(b, 1)],
-               target_ref, qrbuf_ref, score_ref.at[0], zdiag_ref.at[0],
-               *scratch)
+        kernel(b, tlens_ref, qlens_ref, target_ref, qrbuf_ref,
+               score_ref.at[0], zdiag_ref.at[0], *scratch)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
