@@ -9,8 +9,14 @@ query bases ``query[d - i]`` drop out of a dynamic lane rotate
 supports dynamic rotates.
 
 ``align_batch_pallas`` has the same contract as ``align_ops.align_batch``
-and is validated bit-identical against the scalar reference (interpret mode
-off-TPU).
+and is validated bit-identical against the scalar reference in interpret
+mode.  STATUS: the kernel lowers and executes under Mosaic on TPU (after
+aligning block tiling, 32-bit rotates, buffered 32-row z writes) but
+currently returns incorrect results there — a Mosaic-lowering discrepancy
+under investigation (the `pltpu.roll`/buffered-flush primitives probe
+correct in isolation).  Until resolved, compiled-TPU execution is gated
+behind KEVLAR_PALLAS_TPU=1; ``ops.align_ops.align_batch`` (vmapped XLA
+wavefront, exact on all backends) is the production device path.
 """
 
 import functools
@@ -205,7 +211,9 @@ def align_batch_pallas(target_seqs, query_seqs, match=1, mismatch=2,
     from kevlar_tpu import dna
 
     if interpret is None:
-        interpret = jax.default_backend() != 'tpu'
+        import os
+        interpret = not (jax.default_backend() == 'tpu'
+                         and os.environ.get('KEVLAR_PALLAS_TPU'))
 
     def bucket(n):
         b = 128
