@@ -9,14 +9,10 @@ query bases ``query[d - i]`` drop out of a dynamic lane rotate
 supports dynamic rotates.
 
 ``align_batch_pallas`` has the same contract as ``align_ops.align_batch``
-and is validated bit-identical against the scalar reference in interpret
-mode.  STATUS: the kernel lowers and executes under Mosaic on TPU (after
-aligning block tiling, 32-bit rotates, buffered 32-row z writes) but
-currently returns incorrect results there — a Mosaic-lowering discrepancy
-under investigation (the `pltpu.roll`/buffered-flush primitives probe
-correct in isolation).  Until resolved, compiled-TPU execution is gated
-behind KEVLAR_PALLAS_TPU=1; ``ops.align_ops.align_batch`` (vmapped XLA
-wavefront, exact on all backends) is the production device path.
+and is validated bit-identical against the scalar ksw2 reference both in
+interpret mode and compiled on real TPU hardware (Mosaic), including
+gap-extend and ambiguous-base cases.  Compiled steady-state: ~0.1 s for an
+8-pair batch end-to-end over the device tunnel.
 """
 
 import functools
@@ -36,10 +32,12 @@ def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
     a = int(match)
     b = int(mismatch if mismatch < 0 else -mismatch)
 
-    def kernel(b, tlens_ref, qlens_ref, target_ref, qrbuf_ref, score_ref,
+    def kernel(bidx, tlens_ref, qlens_ref, target_ref, qrbuf_ref, score_ref,
                zdiag_ref, h_prev, h_prev2, e_prev, f_prev, zbuf, score_s):
-        tlen = tlens_ref[b]
-        qlen = qlens_ref[b]
+        # NB: the grid id must not be named `b` — it would shadow the
+        # mismatch score above (the bug behind the original TPU parity gap)
+        tlen = tlens_ref[bidx]
+        qlen = qlens_ref[bidx]
         ii = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
         tcodes = target_ref[:].reshape(1, T).astype(jnp.int32)
 
@@ -211,9 +209,7 @@ def align_batch_pallas(target_seqs, query_seqs, match=1, mismatch=2,
     from kevlar_tpu import dna
 
     if interpret is None:
-        import os
-        interpret = not (jax.default_backend() == 'tpu'
-                         and os.environ.get('KEVLAR_PALLAS_TPU'))
+        interpret = jax.default_backend() != 'tpu'
 
     def bucket(n):
         b = 128
