@@ -32,3 +32,23 @@ def test_pallas_aligner_parity():
         expected.append(align_scalar(g, q))
     got = align_batch_pallas(targets, queries, interpret=True)
     assert got == expected
+
+
+def test_pallas_aligner_grid_step_independence():
+    """Regression for the grid-id/mismatch-score shadowing bug: results must
+    not depend on batch position, and mismatch-heavy pairs at grid id > 0
+    must score exactly (the shadowed value turned the mismatch penalty into
+    the batch index)."""
+    rng = random.Random(31)
+    g = simdata.make_genome(rng, 180)
+    q = g[15:-15]
+    r1 = simdata.make_genome(rng, 150)
+    r2 = simdata.make_genome(rng, 130)
+    gn = g[:80] + 'NNNNN' + g[85:]
+    pairs = [(g, q), (r1, r2), (g, q), (gn, q), (g, 'A'), (r2, r1[:120])]
+    targets = [p[0] for p in pairs]
+    queries = [p[1] for p in pairs]
+    expected = [align_scalar(t, qq) for t, qq in zip(targets, queries)]
+    got = align_batch_pallas(targets, queries, interpret=True)
+    assert got == expected
+    assert got[0] == got[2]  # duplicate pairs at different grid ids agree
