@@ -369,8 +369,10 @@ def main(arglist=None):
     if args.cmd is None:
         parser().parse_args(['-h'])
         return
-    mainmethod = mains()[args.cmd]
     try:
+        # resolving the handler lazily imports the stage module, which can
+        # itself raise config errors (e.g. a bad KEVLAR_ALIGN_BACKEND)
+        mainmethod = mains()[args.cmd]
         mainmethod(args)
     except BrokenPipeError:
         sys.exit(0)

@@ -252,13 +252,53 @@ def align_numpy(target, query, match=1, mismatch=2, gapopen=5, gapextend=0):
 
 
 def _pick_default():
-    """Prefer the native C++ aligner (same exact semantics) when built."""
+    """Pick the per-pair aligner. All candidates are bit-identical ksw2.
+
+    Default: native C++ when built, else the numpy wavefront.
+    ``KEVLAR_ALIGN_BACKEND`` overrides: ``native``, ``numpy``, ``scalar``,
+    ``device`` (vmapped XLA wavefront), or ``pallas`` (Mosaic kernel) —
+    the two device options batch each call through ``align_batch``-style
+    entry points and only pay off when the jit program is already compiled
+    (tunnel compiles run minutes), so they stay opt-in.
+    """
+    import os
+    choice = os.environ.get('KEVLAR_ALIGN_BACKEND', '').lower()
+    if choice not in ('', 'native', 'numpy', 'scalar', 'device', 'pallas'):
+        raise ValueError(
+            'unknown KEVLAR_ALIGN_BACKEND {!r}; expected one of '
+            'native, numpy, scalar, device, pallas'.format(choice))
+    if choice == 'numpy':
+        return align_numpy
+    if choice == 'scalar':
+        return align_scalar
+    if choice == 'device':
+        from kevlar_tpu.ops import align_ops
+
+        def _device(target, query, match=1, mismatch=2, gapopen=5,
+                    gapextend=0):
+            return align_ops.align_batch(
+                [target], [query], match=match, mismatch=mismatch,
+                gapopen=gapopen, gapextend=gapextend)[0]
+        return _device
+    if choice == 'pallas':
+        from kevlar_tpu.ops import align_pallas
+
+        def _pallas(target, query, match=1, mismatch=2, gapopen=5,
+                    gapextend=0):
+            return align_pallas.align_batch_pallas(
+                [target], [query], match=match, mismatch=mismatch,
+                gapopen=gapopen, gapextend=gapextend)[0]
+        return _pallas
     try:
         from kevlar_tpu import native
         if native.available():
             return native.align
     except Exception:
-        pass
+        if choice == 'native':
+            raise
+    if choice == 'native':
+        from kevlar_tpu import native
+        return native.align
     return align_numpy
 
 
