@@ -182,6 +182,46 @@ class Sketch:
         h1, h2, valid = dna.kmer_hashes(dna.encode(seq), self._ksize)
         return [int(c) for c in self._host_counts(h1, h2, valid)]
 
+    def get_kmer_hashes(self, seq):
+        """64-bit canonical hashes for the valid k-mers of `seq`.
+
+        khmer-contract API (reference usage: SURVEY §2.1); hash values use
+        this package's scheme, with the same canonicality invariant.
+        """
+        h1, h2, valid = dna.kmer_hashes(dna.encode(seq), self._ksize)
+        keys = (h1.astype(np.uint64) << np.uint64(32)) | h2.astype(np.uint64)
+        return [int(key) for key, v in zip(keys, valid) if v]
+
+    def abundance_distribution(self, records, tracking):
+        """Histogram of distinct-k-mer abundances, khmer-style.
+
+        ``records`` is an iterable of Records (or a filename); ``tracking``
+        is a presence sketch (counter_bits=1) used to count each distinct
+        k-mer exactly once across calls.  Returns a length-256 array where
+        entry ``c`` is the number of distinct k-mers with count ``c``
+        (reference contract: khmer ``abundance_distribution(parser,
+        tracking)`` used by dist.py:53).
+        """
+        from kevlar_tpu import seqio
+        from kevlar_tpu.batch import batches_from_records
+        if isinstance(records, str):
+            records = seqio.multi_file_iter([records])
+        hist = np.zeros(256, dtype=np.int64)
+        for batch in batches_from_records(records):
+            h1, h2, valid = dna.kmer_hashes(batch.bases, self._ksize)
+            h1, h2, valid = h1.ravel(), h2.ravel(), valid.ravel()
+            fresh = valid & (tracking._host_counts(h1, h2, valid) == 0)
+            if not fresh.any():
+                continue
+            keys = (h1.astype(np.uint64) << np.uint64(32)) | \
+                h2.astype(np.uint64)
+            _, first = np.unique(keys[fresh], return_index=True)
+            idx = np.flatnonzero(fresh)[first]
+            counts = self._host_counts(h1[idx], h2[idx])
+            np.add.at(hist, np.clip(counts, 0, 255).astype(np.int64), 1)
+            tracking._host_consume_hashes(h1[idx], h2[idx])
+        return hist
+
     # -- mutation ---------------------------------------------------------
     def add(self, kmer):
         self.consume(kmer)
