@@ -38,27 +38,37 @@ def count_first_pass(infiles, counts, mask):
 
 
 def count_second_pass(infiles, counts, mask):
-    """Histogram of abundances over distinct masked k-mers."""
+    """Histogram of abundances over distinct masked k-mers.
+
+    Distinct-k-mer dedup runs through a presence (tracking) sketch, khmer
+    style (reference dist.py:49-57) — bounded memory regardless of genome
+    size, unlike a Python set of hashes.
+    """
     kevlar_tpu.plog('[kevlar::dist] Second pass over the data')
     abundance = defaultdict(int)
-    tracked = set()
+    tracking = Sketch(counts.ksize(), counts.tablesize, counts.ntables,
+                      counter_bits=1, backend='host')
     ksize = counts.ksize()
     for filename in infiles:
         kevlar_tpu.plog('    -', filename)
         stream = seqio.multi_file_iter([filename])
         for batch in batches_from_records(stream):
             h1, h2, valid = dna.kmer_hashes(batch.bases, ksize)
+            h1, h2, valid = h1.ravel(), h2.ravel(), valid.ravel()
             mcnt = mask._host_counts(h1, h2, valid)
-            ccnt = counts._host_counts(h1, h2, valid)
             keep = valid & (mcnt > 0)
+            fresh = keep & (tracking._host_counts(h1, h2, keep) == 0)
+            if not fresh.any():
+                continue
             keys = (h1.astype(np.uint64) << np.uint64(32)) | \
                 h2.astype(np.uint64)
-            for key, cnt in zip(keys[keep].tolist(), ccnt[keep].tolist()):
-                if key in tracked:
-                    continue
-                tracked.add(key)
+            _, first = np.unique(keys[fresh], return_index=True)
+            idx = np.flatnonzero(fresh)[first]
+            ccnt = counts._host_counts(h1[idx], h2[idx])
+            for cnt in ccnt.tolist():
                 if cnt > 0:
                     abundance[int(cnt)] += 1
+            tracking._host_consume_hashes(h1[idx], h2[idx])
     kevlar_tpu.plog('[kevlar::dist] Done second pass over input!')
     return abundance
 
