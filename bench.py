@@ -69,56 +69,47 @@ def stack_all(reads):
 def device_pipeline(case_reads, ctrl_reads_list):
     """Count 3 samples + screen case reads on device. Returns wall seconds.
 
-    Counting runs as ONE stacked-scan dispatch per sample (lax.scan over the
-    batch stack); the screen runs per batch.
+    The whole pipeline (consume all samples + packed-table screen) runs as
+    ONE fused dispatch over the 2-bit packed wire format
+    (novel_ops.count_and_screen_stack_packed): one H2D leg of packed reads,
+    one device program, one compact D2H leg.
     """
-    import jax
     import jax.numpy as jnp
-    from kevlar_tpu.sketch import Sketch
+    from kevlar_tpu.batch import pack_bases
     from kevlar_tpu.ops import novel_ops
 
-    sketches = [Sketch(KSIZE, TABLESIZE, 4, counter_bits=8)
-                for _ in range(1 + len(ctrl_reads_list))]
     all_reads = [case_reads] + ctrl_reads_list
-    stacks = [stack_all(r) for r in all_reads]
+    packed_stacks = [pack_bases(stack_all(r)) for r in all_reads]
+    (case_packed, case_bad) = packed_stacks[0]
+    ctrl_packed = tuple(p for p, _ in packed_stacks[1:])
+    ctrl_bad = tuple(b for _, b in packed_stacks[1:])
 
-    # warmup: compile stacked consume + screen
-    print('# bench: compiling consume kernel...', file=sys.stderr,
-          flush=True)
-    sketches[0].consume_batch_stack(stacks[0])
-    print('# bench: compiling screen kernel...', file=sys.stderr,
-          flush=True)
-    NB = stacks[0].shape[0]
-    lens_w = jnp.full((NB, BATCH), READLEN, dtype=jnp.int32)
-    novel_ops.novel_screen_compact_stack(
-        (sketches[0].tables,),
-        tuple(s.tables for s in sketches[1:]),
-        jnp.asarray(stacks[0]), lens_w, ksize=KSIZE, casemin=CASEMIN,
-        ctrlmax=CTRLMAX)
+    NB = case_packed.shape[0]
+    lens = np.full((NB, BATCH), READLEN, np.int32)
+    lens.reshape(-1)[len(case_reads):] = 0
+
+    def run():
+        outs, _, _ = novel_ops.count_and_screen_stack_packed(
+            jnp.asarray(case_packed), jnp.asarray(case_bad),
+            tuple(jnp.asarray(p) for p in ctrl_packed),
+            tuple(jnp.asarray(b) for b in ctrl_bad),
+            jnp.asarray(lens), L=PADLEN, ksize=KSIZE, tablesize=TABLESIZE,
+            ntables=4, maxcount=255, casemin=CASEMIN, ctrlmax=CTRLMAX)
+        hit_idx, hit_abunds, n_hits, discard, skip = outs
+        return int(jnp.sum(n_hits))
+
+    print('# bench: compiling fused count+screen pipeline...',
+          file=sys.stderr, flush=True)
+    run()
     print('# bench: compiled; timing device pipeline', file=sys.stderr,
           flush=True)
-
-    lens = np.full((NB, BATCH), READLEN, np.int32)
-    nvalid = len(case_reads)
-    lens.reshape(-1)[nvalid:] = 0
-    lens_dev = jnp.asarray(lens)
 
     # best-of-N to damp tunnel/dispatch jitter
     best = None
     n_interesting = 0
     for rep in range(3):
-        reps = [Sketch(KSIZE, TABLESIZE, 4, counter_bits=8)
-                for _ in range(len(sketches))]
         t0 = time.time()
-        for sk, stack in zip(reps, stacks):
-            sk.consume_batch_stack(stack)
-        case_tables = (reps[0].tables,)
-        ctrl_tables = tuple(s.tables for s in reps[1:])
-        hit_idx, hit_abunds, n_hits, discard, skip = \
-            novel_ops.novel_screen_compact_stack(
-                case_tables, ctrl_tables, jnp.asarray(stacks[0]),
-                lens_dev, ksize=KSIZE, casemin=CASEMIN, ctrlmax=CTRLMAX)
-        n_interesting = int(jnp.sum(n_hits))
+        n_interesting = run()
         elapsed = time.time() - t0
         best = elapsed if best is None else min(best, elapsed)
     return best, n_interesting

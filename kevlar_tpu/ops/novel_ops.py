@@ -15,12 +15,34 @@ import jax.numpy as jnp
 from kevlar_tpu.ops import hashing, sketch_ops
 
 
+def _pack_or_none(case_tables, ctrl_tables):
+    """Packed-word table layout when every sample shares one shape.
+
+    One uint32 gather then serves up to 4 samples (sketch_ops.
+    pack_sample_tables); samples with heterogeneous table sizes fall back
+    to per-sample gathers.
+    """
+    all_tables = tuple(case_tables) + tuple(ctrl_tables)
+    if len(all_tables) > 1 and len({t.shape for t in all_tables}) == 1:
+        return sketch_ops.pack_sample_tables(all_tables)
+    return None
+
+
+def _sample_counts(case_tables, ctrl_tables, packed, h1, h2):
+    """uint8 [S, ...] min-of-table counts, cases then controls."""
+    all_tables = tuple(case_tables) + tuple(ctrl_tables)
+    if packed is not None:
+        return sketch_ops.gather_counts_multi(packed, len(all_tables), h1, h2)
+    return jnp.stack([sketch_ops.gather_counts(t, h1, h2)
+                      for t in all_tables])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('ksize', 'casemin', 'ctrlmax', 'screen', 'numbands',
                      'band'))
 def novel_screen(case_tables, ctrl_tables, bases, lengths, ksize, casemin,
-                 ctrlmax, screen=None, numbands=None, band=None):
+                 ctrlmax, screen=None, numbands=None, band=None, packed=None):
     """Screen a read batch for novel (interesting) k-mers.
 
     Parameters
@@ -53,11 +75,13 @@ def novel_screen(case_tables, ctrl_tables, bases, lengths, ksize, casemin,
         lengths.astype(jnp.int32)[:, None], axis=1)[:, 0]
     skip = (total_bad > 0) | (lengths < ksize)
 
-    case_counts = jnp.stack([
-        sketch_ops.gather_counts(t, h1, h2) for t in case_tables])
+    if packed is None:
+        packed = _pack_or_none(case_tables, ctrl_tables)
+    counts = _sample_counts(case_tables, ctrl_tables, packed, h1, h2)
+    C = len(case_tables)
+    case_counts = counts[:C]
     if len(ctrl_tables):
-        ctrl_counts = jnp.stack([
-            sketch_ops.gather_counts(t, h1, h2) for t in ctrl_tables])
+        ctrl_counts = counts[C:]
     else:
         ctrl_counts = jnp.zeros((0,) + h1.shape, dtype=jnp.uint8)
 
@@ -88,7 +112,7 @@ def novel_screen(case_tables, ctrl_tables, bases, lengths, ksize, casemin,
                      'band', 'max_hits'))
 def novel_screen_compact(case_tables, ctrl_tables, bases, lengths, ksize,
                          casemin, ctrlmax, screen=None, numbands=None,
-                         band=None, max_hits=32768):
+                         band=None, max_hits=32768, packed=None):
     """novel_screen + device-side compaction of the (sparse) hits.
 
     Instead of shipping the full [B, P] interest mask and [S, B, P] abundance
@@ -104,7 +128,7 @@ def novel_screen_compact(case_tables, ctrl_tables, bases, lengths, ksize,
     interesting, abunds, discard, skip = novel_screen(
         case_tables, ctrl_tables, bases, lengths, ksize=ksize,
         casemin=casemin, ctrlmax=ctrlmax, screen=screen, numbands=numbands,
-        band=band)
+        band=band, packed=packed)
     flat = interesting.ravel()
     n_hits = jnp.sum(flat.astype(jnp.int32))
     (hit_idx,) = jnp.nonzero(flat, size=max_hits, fill_value=-1)
@@ -129,16 +153,71 @@ def novel_screen_compact_stack(case_tables, ctrl_tables, bases_stack,
     Returns stacked per-batch results: hit_idx [NB, max_hits],
     hit_abunds [NB, S, max_hits], n_hits [NB], discard/skip [NB, B].
     """
+    packed = _pack_or_none(case_tables, ctrl_tables)  # once, outside the scan
+
     def body(carry, inp):
         bases, lengths = inp
         outs = novel_screen_compact(
             case_tables, ctrl_tables, bases, lengths, ksize=ksize,
             casemin=casemin, ctrlmax=ctrlmax, screen=screen,
-            numbands=numbands, band=band, max_hits=max_hits)
+            numbands=numbands, band=band, max_hits=max_hits, packed=packed)
         return carry, outs
 
     _, outs = jax.lax.scan(body, 0, (bases_stack, lengths_stack))
     return outs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('L', 'ksize', 'tablesize', 'ntables', 'maxcount',
+                     'casemin', 'ctrlmax', 'screen', 'max_hits'))
+def count_and_screen_stack_packed(case_packed, case_bad, ctrl_packed,
+                                  ctrl_bad, lengths_stack, L, ksize,
+                                  tablesize, ntables, maxcount, casemin,
+                                  ctrlmax, screen=None, max_hits=32768):
+    """The whole count+novel device pipeline as ONE compiled program.
+
+    Counts every sample's [NB, B, ceil(L/4)] 2-bit packed read stack into a
+    fresh Count-Min sketch (lax.scan per sample), packs the per-sample
+    tables into interleaved uint32 words, then screens the case stack with
+    device-side hit compaction — the reference's count+novel stages
+    (count.py:18-99 + novel.py:95-176) in a single dispatch, so remote-link
+    dispatch latency is paid once for the whole pipeline.
+
+    Returns ((hit_idx, hit_abunds, n_hits, discard, skip) stacked per batch,
+    case_tables, ctrl_tables).
+    """
+    from kevlar_tpu.ops import hashing as _h
+
+    def consume_stack(packed_stack, bad_stack):
+        tables = jnp.zeros((ntables, tablesize), jnp.uint8)
+
+        def body(tbl, inp):
+            packed, badmask = inp
+            bases = _h.unpack_bases(packed, badmask, L)
+            h1, h2, valid = _h.kmer_hashes(bases, ksize)
+            return sketch_ops._consume_hashes(tbl, h1, h2, valid,
+                                              maxcount), None
+
+        tables, _ = jax.lax.scan(body, tables, (packed_stack, bad_stack))
+        return tables
+
+    case_tables = consume_stack(case_packed, case_bad)
+    ctrl_tables = tuple(consume_stack(p, b)
+                        for p, b in zip(ctrl_packed, ctrl_bad))
+    packed_tables = _pack_or_none((case_tables,), ctrl_tables)
+
+    def body(carry, inp):
+        packed, badmask, lengths = inp
+        bases = _h.unpack_bases(packed, badmask, L)
+        outs = novel_screen_compact(
+            (case_tables,), ctrl_tables, bases, lengths, ksize=ksize,
+            casemin=casemin, ctrlmax=ctrlmax, screen=screen,
+            max_hits=max_hits, packed=packed_tables)
+        return carry, outs
+
+    _, outs = jax.lax.scan(body, 0, (case_packed, case_bad, lengths_stack))
+    return outs, case_tables, ctrl_tables
 
 
 @functools.partial(
@@ -153,13 +232,16 @@ def novel_screen_compact_stack_packed(case_tables, ctrl_tables, packed_stack,
     """Stacked compacted screen over the 2-bit wire format."""
     from kevlar_tpu.ops import hashing as _h
 
+    packed_tables = _pack_or_none(case_tables, ctrl_tables)
+
     def body(carry, inp):
         packed, badmask, lengths = inp
         bases = _h.unpack_bases(packed, badmask, L)
         outs = novel_screen_compact(
             case_tables, ctrl_tables, bases, lengths, ksize=ksize,
             casemin=casemin, ctrlmax=ctrlmax, screen=screen,
-            numbands=numbands, band=band, max_hits=max_hits)
+            numbands=numbands, band=band, max_hits=max_hits,
+            packed=packed_tables)
         return carry, outs
 
     _, outs = jax.lax.scan(body, 0,

@@ -30,6 +30,51 @@ def gather_counts(tables, h1, h2):
     return counts
 
 
+def pack_sample_tables(tables_list):
+    """Interleave S samples' uint8 tables into ceil(S/4) uint32 word arrays.
+
+    All tables must share the same ``[ntables, tablesize]`` shape.  Word
+    array w holds samples ``4w .. 4w+3``: byte ``s % 4`` of
+    ``packed[w][t, i]`` is sample s's counter at bucket ``(t, i)``.  Because
+    the double-hashed bucket index depends only on (h1, h2, t) — never on
+    the sample — one uint32 gather then serves up to four samples' counts,
+    cutting the novel screen's random-access traffic (the hot loop of
+    reference novel.py:95-176) from S*ntables byte-gathers to
+    ceil(S/4)*ntables word-gathers.
+    """
+    words = []
+    for w in range(0, len(tables_list), 4):
+        acc = tables_list[w].astype(jnp.uint32)
+        for s, tbl in enumerate(tables_list[w + 1:w + 4], start=1):
+            acc = acc | (tbl.astype(jnp.uint32) << jnp.uint32(8 * s))
+        words.append(acc)
+    return tuple(words)
+
+
+def gather_counts_multi(packed_words, nsamples, h1, h2):
+    """Min-over-tables counts for every sample at once: uint8 [S, ...].
+
+    ``packed_words`` comes from :func:`pack_sample_tables`.  Gathers one
+    uint32 per (word, table) probe and splits bytes on the VPU.
+    """
+    per_sample = [None] * nsamples
+    for w, packed in enumerate(packed_words):
+        ntables, tablesize = packed.shape
+        gathered = None
+        for t in range(ntables):
+            idx = hashing.table_index(h1, h2, t, tablesize)
+            word = packed[t][idx.astype(jnp.int32)]
+            if gathered is None:
+                gathered = word[None]
+            else:
+                gathered = jnp.concatenate([gathered, word[None]])
+        # gathered: uint32 [ntables, ...]; byte s is sample 4w+s's count
+        for s in range(4 * w, min(4 * w + 4, nsamples)):
+            byte = (gathered >> jnp.uint32(8 * (s % 4))) & jnp.uint32(0xFF)
+            per_sample[s] = jnp.min(byte, axis=0).astype(jnp.uint8)
+    return jnp.stack(per_sample)
+
+
 def _apply_mask_screen(mask_tables, h1, h2, valid, threshold, consume_masked):
     mcnt = gather_counts(mask_tables, h1, h2)
     if consume_masked:

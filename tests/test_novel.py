@@ -120,3 +120,43 @@ def test_band_args_must_pair(trio_sketches):
         list(novel(iter([]), [case], [mom], numbands=4))
     with pytest.raises(ValueError):
         list(novel(iter([]), [case], [mom], numbands=4, band=-1))
+
+
+def test_fused_count_and_screen_matches_unfused():
+    """count_and_screen_stack_packed (one dispatch, 2-bit wire, packed-word
+    tables) must reproduce the unfused consume+screen path bit-exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kevlar_tpu.batch import pack_bases
+    from kevlar_tpu.ops import novel_ops
+
+    rng = np.random.default_rng(99)
+    L, B, NB, TS = 64, 16, 2, 4099
+
+    def mkstack():
+        return rng.integers(0, 4, size=(NB, B, L), dtype=np.uint8)
+
+    case, mom, dad = mkstack(), mkstack(), mkstack()
+    case[0, 0, 7] = 4  # an N: read must be skipped wholesale
+    lens = np.full((NB, B), L, np.int32)
+
+    sks = [Sketch(KSIZE, TS, 4, counter_bits=8) for _ in range(3)]
+    for sk, st in zip(sks, (case, mom, dad)):
+        sk.consume_batch_stack(st)
+    from kevlar_tpu.ops.novel_ops import novel_screen_compact_stack
+    ref = novel_screen_compact_stack(
+        (sks[0].tables,), tuple(s.tables for s in sks[1:]),
+        jnp.asarray(case), jnp.asarray(lens), ksize=KSIZE, casemin=2,
+        ctrlmax=1)
+
+    packed = [pack_bases(st) for st in (case, mom, dad)]
+    outs, case_tables, ctrl_tables = novel_ops.count_and_screen_stack_packed(
+        jnp.asarray(packed[0][0]), jnp.asarray(packed[0][1]),
+        tuple(jnp.asarray(p) for p, _ in packed[1:]),
+        tuple(jnp.asarray(b) for _, b in packed[1:]),
+        jnp.asarray(lens), L=L, ksize=KSIZE, tablesize=TS, ntables=4,
+        maxcount=255, casemin=2, ctrlmax=1)
+    for name, (x, y) in zip(('hit_idx', 'hit_abunds', 'n_hits', 'discard',
+                             'skip'), zip(ref, outs)):
+        assert np.array_equal(np.asarray(x), np.asarray(y)), name
+    assert np.array_equal(np.asarray(sks[0].tables), np.asarray(case_tables))

@@ -158,3 +158,27 @@ def test_allocate_traits():
     assert sketch.get_extension(count=True, smallcount=True) == \
         ('.sct', '.smallcounttable')
     assert sketch.get_extension() == ('.nt', '.nodetable')
+
+
+def test_packed_multi_sample_gather_matches_per_sample():
+    """pack_sample_tables + gather_counts_multi must equal per-sample
+    gather_counts for any sample count (incl. a partial final word)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kevlar_tpu.ops import sketch_ops
+
+    rng = np.random.default_rng(42)
+    for nsamples in (1, 2, 3, 4, 5, 8):
+        tables = [jnp.asarray(rng.integers(0, 256, size=(4, 997),
+                                           dtype=np.uint8))
+                  for _ in range(nsamples)]
+        h1 = jnp.asarray(rng.integers(0, 2**32, size=(5, 17),
+                                      dtype=np.uint32))
+        h2 = jnp.asarray(rng.integers(0, 2**32, size=(5, 17),
+                                      dtype=np.uint32) | 1)
+        ref = jnp.stack([sketch_ops.gather_counts(t, h1, h2)
+                         for t in tables])
+        packed = sketch_ops.pack_sample_tables(tables)
+        got = sketch_ops.gather_counts_multi(packed, nsamples, h1, h2)
+        assert got.dtype == ref.dtype
+        assert np.array_equal(np.asarray(got), np.asarray(ref))
