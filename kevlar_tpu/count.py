@@ -45,8 +45,10 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
             import os
             if getattr(sketch, 'backend', 'device') == 'device' \
                     and mask is None and not numbands \
-                    and os.environ.get('KEVLAR_PACKED_WIRE'):
+                    and os.environ.get('KEVLAR_PACKED_WIRE', '1') != '0':
                 # 2-bit wire format: 3.7x less host->device traffic
+                # (default on; TPU-validated bit-identical — set
+                # KEVLAR_PACKED_WIRE=0 to send raw base codes)
                 from kevlar_tpu.batch import pack_bases
                 from kevlar_tpu.ops import sketch_ops
                 packed, badmask = pack_bases(stacked)

@@ -164,63 +164,11 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
 
     if batchstream is None:
         batchstream = batch_mod.batches_from_records(casestream, batch_size)
-    for rbatch in batchstream:
-        if skipping:
-            # restartability support (novel.py:114-132): fast-forward to a
-            # named read, host-side
-            names = [r.name for r in rbatch.records]
-            if skipuntil in names:
-                idx = names.index(skipuntil)
-                kevlar_tpu.plog('[kevlar::novel] Found read ' + skipuntil)
-                rbatch.records = rbatch.records[idx + 1:]
-                rbatch = batch_mod.ReadBatch(rbatch.records) \
-                    if rbatch.records else None
-                skipping = False
-                if rbatch is None:
-                    continue
-            else:
-                continue
-        P = rbatch.bases.shape[1] - ksize + 1
-        if sharded:
-            from kevlar_tpu.parallel import sharded_novel_screen
-            interesting, abunds, discard, skip = sharded_novel_screen(
-                casecounts[0].mesh, casecounts, controlcounts,
-                rbatch.bases, rbatch.lengths, casemin=casemin,
-                ctrlmax=ctrlmax, screen=abundscreen)
-            flat = np.nonzero(np.asarray(interesting).ravel())[0]
-            abunds_np = np.asarray(abunds).reshape(
-                len(casecounts) + len(controlcounts), -1)
-            hits_np = flat
-            hitab_np = abunds_np[:, flat]
-            n_hits = len(flat)
-        else:
-            hit_idx, hit_abunds, n_hits, discard, skip = \
-                novel_ops.novel_screen_compact(
-                    case_tables, ctrl_tables, rbatch.bases, rbatch.lengths,
-                    ksize=ksize, casemin=casemin, ctrlmax=ctrlmax,
-                    screen=abundscreen, numbands=numbands, band=band)
-            n_hits = int(n_hits)
-        if sharded:
-            pass
-        elif n_hits > hit_idx.shape[0]:
-            # compaction overflow (extremely k-mer-dense batch): fall back
-            # to the full mask
-            interesting, abunds, discard, skip = novel_ops.novel_screen(
-                case_tables, ctrl_tables, rbatch.bases, rbatch.lengths,
-                ksize=ksize, casemin=casemin, ctrlmax=ctrlmax,
-                screen=abundscreen, numbands=numbands, band=band)
-            flat = np.nonzero(np.asarray(interesting).ravel())[0]
-            abunds_np = np.asarray(abunds).reshape(
-                len(case_tables) + len(ctrl_tables), -1)
-            hits_np = flat
-            hitab_np = abunds_np[:, flat]
-        else:
-            hits_np = np.asarray(hit_idx)[:n_hits]
-            hitab_np = np.asarray(hit_abunds)[:, :n_hits]
-        discard = np.asarray(discard)
-        nprocessed += len(rbatch)
-        progress.update(len(rbatch))
 
+    def decode_hits(rbatch, hits_np, hitab_np, discard):
+        """Turn compacted hit indices into annotated Records."""
+        nonlocal nreads, nkmers
+        P = rbatch.bases.shape[1] - ksize + 1
         irecord = None
         last_i = -1
         for h in range(len(hits_np)):
@@ -242,6 +190,110 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
             nreads += 1
             nkmers += len(irecord.annotations)
             yield irecord
+
+    def screen_one(rbatch):
+        """Single-batch screen with overflow fallback; returns decode args."""
+        hit_idx, hit_abunds, n_hits, discard, skip = \
+            novel_ops.novel_screen_compact(
+                case_tables, ctrl_tables, rbatch.bases, rbatch.lengths,
+                ksize=ksize, casemin=casemin, ctrlmax=ctrlmax,
+                screen=abundscreen, numbands=numbands, band=band)
+        n_hits = int(n_hits)
+        if n_hits > hit_idx.shape[0]:
+            # compaction overflow (extremely k-mer-dense batch): fall back
+            # to the full mask
+            interesting, abunds, discard, skip = novel_ops.novel_screen(
+                case_tables, ctrl_tables, rbatch.bases, rbatch.lengths,
+                ksize=ksize, casemin=casemin, ctrlmax=ctrlmax,
+                screen=abundscreen, numbands=numbands, band=band)
+            flat = np.nonzero(np.asarray(interesting).ravel())[0]
+            abunds_np = np.asarray(abunds).reshape(
+                len(case_tables) + len(ctrl_tables), -1)
+            return flat, abunds_np[:, flat], np.asarray(discard)
+        return (np.asarray(hit_idx)[:n_hits],
+                np.asarray(hit_abunds)[:, :n_hits], np.asarray(discard))
+
+    # stacked dispatch: consecutive same-shape batches are screened 8 at a
+    # time in a single device program (dispatch latency paid once per stack —
+    # decisive over remote-compile tunnels, still a win locally).  Only
+    # consecutive runs are stacked so the output order stays identical to
+    # the input order.
+    STACK_DEPTH = 8
+    pending = []
+
+    def flush():
+        stack = pending[:]
+        del pending[:]
+        if not stack:
+            return
+        if len(stack) == 1:
+            rbatch = stack[0]
+            hits_np, hitab_np, discard = screen_one(rbatch)
+            yield from decode_hits(rbatch, hits_np, hitab_np, discard)
+            return
+        nreal = len(stack)
+        bases_stack = np.stack(
+            [b.bases for b in stack] +
+            [np.full_like(stack[0].bases, 4)] * (STACK_DEPTH - nreal))
+        lengths_stack = np.stack(
+            [np.asarray(b.lengths, np.int32) for b in stack] +
+            [np.zeros_like(np.asarray(stack[0].lengths, np.int32))] *
+            (STACK_DEPTH - nreal))
+        hit_idx, hit_abunds, n_hits, discard, skip = \
+            novel_ops.novel_screen_compact_stack(
+                case_tables, ctrl_tables, bases_stack, lengths_stack,
+                ksize=ksize, casemin=casemin, ctrlmax=ctrlmax,
+                screen=abundscreen, numbands=numbands, band=band)
+        n_hits_np = np.asarray(n_hits)
+        hit_idx_np = np.asarray(hit_idx)
+        hit_abunds_np = np.asarray(hit_abunds)
+        discard_np = np.asarray(discard)
+        for j, rbatch in enumerate(stack):
+            nh = int(n_hits_np[j])
+            if nh > hit_idx_np.shape[1]:
+                hits_np, hitab_np, disc = screen_one(rbatch)
+            else:
+                hits_np = hit_idx_np[j, :nh]
+                hitab_np = hit_abunds_np[j, :, :nh]
+                disc = discard_np[j]
+            yield from decode_hits(rbatch, hits_np, hitab_np, disc)
+
+    for rbatch in batchstream:
+        if skipping:
+            # restartability support (novel.py:114-132): fast-forward to a
+            # named read, host-side
+            names = [r.name for r in rbatch.records]
+            if skipuntil in names:
+                idx = names.index(skipuntil)
+                kevlar_tpu.plog('[kevlar::novel] Found read ' + skipuntil)
+                rbatch.records = rbatch.records[idx + 1:]
+                rbatch = batch_mod.ReadBatch(rbatch.records) \
+                    if rbatch.records else None
+                skipping = False
+                if rbatch is None:
+                    continue
+            else:
+                continue
+        nprocessed += len(rbatch)
+        progress.update(len(rbatch))
+        if sharded:
+            from kevlar_tpu.parallel import sharded_novel_screen
+            interesting, abunds, discard, skip = sharded_novel_screen(
+                casecounts[0].mesh, casecounts, controlcounts,
+                rbatch.bases, rbatch.lengths, casemin=casemin,
+                ctrlmax=ctrlmax, screen=abundscreen)
+            flat = np.nonzero(np.asarray(interesting).ravel())[0]
+            abunds_np = np.asarray(abunds).reshape(
+                len(casecounts) + len(controlcounts), -1)
+            yield from decode_hits(rbatch, flat, abunds_np[:, flat],
+                                   np.asarray(discard))
+            continue
+        if pending and pending[0].bases.shape != rbatch.bases.shape:
+            yield from flush()
+        pending.append(rbatch)
+        if len(pending) >= STACK_DEPTH:
+            yield from flush()
+    yield from flush()
 
     elapsed = timer.stop()
     message = 'Found {:d} instances of {:d} unique novel kmers in {:d} reads'

@@ -74,6 +74,43 @@ def _local_gather(tables_local, h1, h2, shard_size, total, ntables):
     return lax.pmin(counts, 'shard')
 
 
+def _local_gather_multi(tables_list, h1, h2, shard_size, total, ntables):
+    """Min-over-tables counts for S samples at once: list of uint8 arrays.
+
+    Same packed-word trick as sketch_ops.gather_counts_multi, applied to the
+    local shard: the bucket index depends only on (h1, h2, table), so up to
+    4 samples' local counters interleave into one uint32 word and a single
+    gather per table serves them all.  Non-owned buckets gather the sentinel
+    word 0xFFFFFFFF (byte 255 for every sample) so the ``pmin`` over 'shard'
+    selects the owning shard's counts.
+    """
+    nsamples = len(tables_list)
+    shard_id = lax.axis_index('shard')
+    lo = (shard_id * shard_size).astype(jnp.int32)
+    per_sample = [None] * nsamples
+    for w0 in range(0, nsamples, 4):
+        group = tables_list[w0:w0 + 4]
+        packed = group[0].astype(jnp.uint32)
+        for s, tbl in enumerate(group[1:], start=1):
+            packed = packed | (tbl.astype(jnp.uint32) << jnp.uint32(8 * s))
+        gathered = None
+        for t in range(ntables):
+            gidx = ((h1 + jnp.uint32(t) * h2) % jnp.uint32(total)).astype(
+                jnp.int32)
+            lidx = gidx - lo
+            ok = (lidx >= 0) & (lidx < shard_size)
+            word = jnp.where(
+                ok, packed[t][jnp.clip(lidx, 0, shard_size - 1)],
+                jnp.uint32(0xFFFFFFFF))
+            gathered = word[None] if gathered is None else \
+                jnp.concatenate([gathered, word[None]])
+        for s in range(len(group)):
+            byte = (gathered >> jnp.uint32(8 * s)) & jnp.uint32(0xFF)
+            per_sample[w0 + s] = lax.pmin(
+                jnp.min(byte, axis=0).astype(jnp.uint8), 'shard')
+    return per_sample
+
+
 class ShardedSketch:
     """Count-Min sketch hash-sharded across the 'shard' axis of a mesh."""
 
@@ -317,9 +354,8 @@ def sharded_novel_screen(mesh, case_sketches, ctrl_sketches, bases, lengths,
             lengths_local.astype(jnp.int32)[:, None], axis=1)[:, 0]
         skip = (total_bad > 0) | (lengths_local < ksize)
 
-        counts = [
-            _local_gather(t, h1, h2, shard_size, total, ntables)
-            for t in all_tables]
+        counts = _local_gather_multi(list(all_tables), h1, h2, shard_size,
+                                     total, ntables)
         case_counts = jnp.stack(counts[:n_case])
         ctrl_counts = jnp.stack(counts[n_case:]) if n_ctrl else \
             jnp.zeros((0,) + h1.shape, jnp.uint8)

@@ -160,3 +160,18 @@ def test_fused_count_and_screen_matches_unfused():
                              'skip'), zip(ref, outs)):
         assert np.array_equal(np.asarray(x), np.asarray(y)), name
     assert np.array_equal(np.asarray(sks[0].tables), np.asarray(case_tables))
+
+
+def test_novel_small_batches_match_one_batch(trio, trio_sketches):
+    """Stacked-dispatch batching (8-deep flush + partial tail + shape-change
+    flushes) must produce exactly the same annotated records, in the same
+    order, as one big batch."""
+    case, mom, dad = trio_sketches
+    big = list(novel(iter(trio['child']), [case], [mom, dad],
+                     ksize=KSIZE, casemin=6, ctrlmax=0))
+    small = list(novel(iter(trio['child']), [case], [mom, dad],
+                       ksize=KSIZE, casemin=6, ctrlmax=0, batch_size=8))
+    assert [(r.name, [(ik.offset, ik.abund) for ik in r.annotations])
+            for r in big] == \
+           [(r.name, [(ik.offset, ik.abund) for ik in r.annotations])
+            for r in small]
