@@ -67,6 +67,10 @@ def load(auto_build=True):
     lib.kt_assemble.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_int]
+    lib.kt_correct.restype = ctypes.c_int
+    lib.kt_correct.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -141,6 +145,21 @@ def align(target, query, match=1, mismatch=2, gapopen=5, gapextend=0):
                          len(query), match, mismatch, gapopen, gapextend,
                          cigar, cap)
     return cigar.value.decode(), score
+
+
+def correct(seqs, k=25, minabund=2):
+    """Spectral (k-mer spectrum) substitution-error correction: the BFC
+    analog (fermi-lite bfc.c) — repairs weak k-mer runs anchored by solid
+    ones.  Returns the corrected sequences (order preserved)."""
+    lib = load()
+    if lib is None:
+        raise ImportError('native library unavailable')
+    seqs = [s.sequence if hasattr(s, 'sequence') else s for s in seqs]
+    arr = (ctypes.c_char_p * len(seqs))(*[s.encode() for s in seqs])
+    cap = sum(len(s) for s in seqs) + len(seqs) + 64
+    out = ctypes.create_string_buffer(cap)
+    n = lib.kt_correct(arr, len(seqs), k, minabund, out, cap)
+    return [p.decode() for p in out.raw.split(b'\0')[:n]]
 
 
 def assemble(records, min_overlap=45):

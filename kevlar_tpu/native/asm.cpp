@@ -1,5 +1,5 @@
-// Native assembler for partitioned read sets: greedy overlap layout with a
-// per-column pileup consensus.
+// Native assembler for partitioned read sets: spectral error correction +
+// greedy overlap layout with a per-column pileup consensus.
 //
 // The kevlar-tpu equivalent of the reference's fermi-lite bridge
 // (/root/reference/kevlar/assembly.pyx -> fml_assemble).  fermi-lite runs
@@ -7,9 +7,15 @@
 // partitions here are small (<= 10000 reads, typically dozens) reads covering
 // one variant locus, so a simpler design reaches the same contigs:
 //
+//  0. BFC-analog spectral correction: count the partition's canonical
+//     k-mers; substitution errors show up as maximal runs of weak
+//     (count < 2) k-mer windows flanked by solid ones, and are repaired by
+//     the unique base substitution that turns the whole run solid
+//     (conservative: anchored runs only, one substitution per run, never
+//     introduces a k-mer that is not already solid in the partition);
 //  1. greedy merging of the longest suffix-prefix overlaps (strand-aware,
 //     containment absorbing), tolerating a bounded mismatch rate in the
-//     overlap (sequencing errors);
+//     overlap (residual sequencing errors);
 //  2. every merged read is laid into a per-column base-count pileup; the
 //     emitted contig is the column-wise majority consensus, which corrects
 //     isolated sequencing errors wherever coverage >= ~3.
@@ -20,11 +26,16 @@
 //     returns #contigs; contigs are nul-separated in `out`.
 //     (mismatch tolerance is fixed at 4% of the overlap length, matching
 //     typical post-QC error rates; exact overlaps always win ties.)
+//   int kt_correct(const char** reads, int nreads, int k, int minabund,
+//                  char* out, int out_cap);
+//     spectral correction alone (nul-separated corrected reads).
 
 #include <algorithm>
 #include <array>
+#include <cstdint>
 #include <cstring>
 #include <string>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -187,9 +198,221 @@ bool absorb(Pileup &outer, const Pileup &inner) {
     return true;
 }
 
+// ---------------------------------------------------------------------------
+// Spectral (k-mer spectrum) error correction — the BFC analog.
+// ---------------------------------------------------------------------------
+
+// 2-bit encodings of the forward and reverse-complement k-mer ending at
+// position p are maintained incrementally by the callers below.
+struct KmerSpectrum {
+    int k;
+    uint64_t mask;
+    std::unordered_map<uint64_t, uint32_t> counts;
+
+    explicit KmerSpectrum(int k_)
+        : k(k_), mask(k_ >= 32 ? ~0ULL : ((1ULL << (2 * k_)) - 1)) {}
+
+    static uint64_t canon(uint64_t fwd, uint64_t rev) {
+        return fwd < rev ? fwd : rev;
+    }
+
+    void add_read(const std::string &s) {
+        uint64_t fwd = 0, rev = 0;
+        int run = 0;  // consecutive valid bases ending here
+        for (size_t i = 0; i < s.size(); ++i) {
+            int b = base_index(s[i]);
+            if (b < 0) { run = 0; fwd = rev = 0; continue; }
+            fwd = ((fwd << 2) | (uint64_t)b) & mask;
+            rev = (rev >> 2) | ((uint64_t)(3 - b) << (2 * (k - 1)));
+            if (++run >= k) counts[canon(fwd, rev)]++;
+        }
+    }
+
+    uint32_t get(uint64_t fwd, uint64_t rev) const {
+        auto it = counts.find(canon(fwd, rev));
+        return it == counts.end() ? 0 : it->second;
+    }
+
+    // count of the k-mer s[i..i+k) with positions p/p2 substituted by
+    // bases nb/nb2; returns 0 if any base in the window is invalid
+    uint32_t window_count(const std::string &s, int i, int p, int nb,
+                          int p2 = -1, int nb2 = 0) const {
+        uint64_t fwd = 0, rev = 0;
+        for (int j = 0; j < k; ++j) {
+            int b = (i + j == p) ? nb
+                  : (i + j == p2) ? nb2 : base_index(s[i + j]);
+            if (b < 0) return 0;
+            fwd = ((fwd << 2) | (uint64_t)b) & mask;
+            rev = (rev >> 2) | ((uint64_t)(3 - b) << (2 * (k - 1)));
+        }
+        return get(fwd, rev);
+    }
+};
+
+// Correct isolated substitution errors in `s` against the spectrum.
+// A substitution at read position p invalidates exactly the windows
+// [p-k+1, p]; so a maximal run of weak windows [i..j] anchored by solid
+// neighbours (or a read edge) is attributed to a single error at some
+// p in [j, i+k-1], and repaired iff exactly locating a base that makes
+// every window in the run solid.  Conservative by construction: novel
+// (variant) k-mers are shared across the partition's reads, hence solid,
+// hence never touched.
+bool spectral_correct_read(std::string &s, const KmerSpectrum &spec,
+                           uint32_t minabund) {
+    int k = spec.k;
+    int P = (int)s.size() - k + 1;
+    if (P < 2) return false;
+    // solidity per window: -1 invalid (contains N), 0 weak, 1 solid
+    std::vector<int8_t> solid(P, -1);
+    {
+        uint64_t fwd = 0, rev = 0;
+        int run = 0;
+        for (size_t i = 0; i < s.size(); ++i) {
+            int b = base_index(s[i]);
+            if (b < 0) { run = 0; fwd = rev = 0; continue; }
+            fwd = ((fwd << 2) | (uint64_t)b) & spec.mask;
+            rev = (rev >> 2) | ((uint64_t)(3 - b) << (2 * (k - 1)));
+            if (++run >= k) {
+                int w = (int)i - k + 1;
+                solid[w] = spec.get(fwd, rev) >= minabund ? 1 : 0;
+            }
+        }
+    }
+    // try single substitutions at p in [plo, phi]: every run window in
+    // [wlo, whi] must turn solid; apply iff exactly one (p, base) works
+    auto fix_span = [&](int wlo, int whi, int plo, int phi) {
+        int best_p = -1, best_b = -1, ncand = 0;
+        for (int p = plo; p <= phi && ncand < 2; ++p) {
+            int orig = base_index(s[p]);
+            for (int nb = 0; nb < 4; ++nb) {
+                if (nb == orig) continue;
+                bool all_solid = true;
+                for (int w = wlo; w <= whi; ++w) {
+                    if (spec.window_count(s, w, p, nb) < minabund) {
+                        all_solid = false;
+                        break;
+                    }
+                }
+                if (all_solid) {
+                    ++ncand;
+                    if (best_p < 0) { best_p = p; best_b = nb; }
+                }
+            }
+        }
+        if (ncand == 1) {  // unambiguous single-base repair
+            s[best_p] = BASES[best_b];
+            return true;
+        }
+        return false;
+    };
+
+    bool changed = false;
+    int i = 0;
+    while (i < P) {
+        if (solid[i] != 0) { ++i; continue; }
+        int j = i;
+        while (j + 1 < P && solid[j + 1] == 0) ++j;
+        // anchored? (interior runs need solid on both sides; edge runs one)
+        bool left_ok = (i == 0) || solid[i - 1] == 1;
+        bool right_ok = (j == P - 1) || solid[j + 1] == 1;
+        if (j - i < k && left_ok && right_ok) {
+            // one substitution can explain the whole run: error at some
+            // p in [j, i+k-1] (the windows a substitution at p invalidates
+            // are exactly [p-k+1, p])
+            changed |= fix_span(i, j, j, std::min(i + k - 1,
+                                                  (int)s.size() - 1));
+        } else if (j - i >= k) {
+            // multiple errors: repair the run's ends independently — the
+            // leftmost error lies at some p in [i, i+k-1] and must fix the
+            // affected run prefix [i, p]; symmetrically the rightmost error
+            // is at p = j fixing [j-k+1, j].  Errors closer than k stay
+            // (their shared windows can't all turn solid) — later passes
+            // retry against the refreshed spectrum.
+            bool did = false;
+            // interior anchors pin BOTH error positions exactly: the
+            // leftmost error is at i+k-1 (window i-1 solid, i weak) and the
+            // rightmost at j (window j+1 solid, j weak) — a 9-combination
+            // double-substitution search settles errors closer than k
+            if (left_ok && right_ok && i > 0 && j < P - 1 &&
+                j - i <= 2 * (k - 1)) {
+                int p1 = i + k - 1, p2 = j;
+                int o1 = base_index(s[p1]), o2 = base_index(s[p2]);
+                int b1 = -1, b2 = -1, ncand = 0;
+                for (int n1 = 0; n1 < 4 && ncand < 2; ++n1) {
+                    if (n1 == o1) continue;
+                    for (int n2 = 0; n2 < 4 && ncand < 2; ++n2) {
+                        if (n2 == o2) continue;
+                        bool all_solid = true;
+                        for (int w = i; w <= j; ++w) {
+                            if (spec.window_count(s, w, p1, n1, p2, n2)
+                                    < minabund) {
+                                all_solid = false;
+                                break;
+                            }
+                        }
+                        if (all_solid) {
+                            ++ncand;
+                            if (b1 < 0) { b1 = n1; b2 = n2; }
+                        }
+                    }
+                }
+                if (ncand == 1) {
+                    s[p1] = BASES[b1];
+                    s[p2] = BASES[b2];
+                    did = changed = true;
+                }
+            }
+            if (!did && left_ok) {
+                for (int p = i + k - 1; p >= i && !did; --p)
+                    did = fix_span(i, std::min(j, p), p, p);
+            }
+            if (!did && right_ok && j - k + 1 >= 0)
+                changed |= fix_span(std::max(i, j - k + 1), j, j, j);
+            changed |= did;
+        }
+        i = j + 1;
+    }
+    return changed;
+}
+
+// correct all reads in place against their joint spectrum, iterating until
+// convergence (each pass's fixes reinforce true k-mers for the next);
+// returns #reads changed in total
+int spectral_correct(std::vector<std::string> &reads, int k,
+                     uint32_t minabund) {
+    int total = 0;
+    for (int pass = 0; pass < 4; ++pass) {
+        KmerSpectrum spec(k);
+        for (const auto &s : reads) spec.add_read(s);
+        int n = 0;
+        for (auto &s : reads)
+            if (spectral_correct_read(s, spec, minabund)) ++n;
+        total += n;
+        if (n == 0) break;
+    }
+    return total;
+}
+
 }  // namespace
 
 extern "C" {
+
+int kt_correct(const char **reads, int nreads, int k, int minabund,
+               char *out, int out_cap) {
+    std::vector<std::string> inputs;
+    inputs.reserve(nreads);
+    for (int i = 0; i < nreads; ++i) inputs.emplace_back(reads[i]);
+    spectral_correct(inputs, k, (uint32_t)minabund);
+    int pos = 0, n = 0;
+    for (auto &s : inputs) {
+        int need = (int)s.size() + 1;
+        if (pos + need > out_cap) break;
+        std::memcpy(out + pos, s.c_str(), need);
+        pos += need;
+        ++n;
+    }
+    return n;
+}
 
 int kt_assemble(const char **reads, int nreads, int min_overlap, char *out,
                 int out_cap) {
@@ -200,6 +423,9 @@ int kt_assemble(const char **reads, int nreads, int min_overlap, char *out,
         std::string s(reads[i]);
         if (!s.empty()) inputs.push_back(std::move(s));
     }
+    // BFC-analog preprocessing (fermi-lite misc.c:275 runs bfc first).
+    // With error-corrected input every window is already solid: a no-op.
+    if ((int)inputs.size() >= 4) spectral_correct(inputs, 25, 2);
     std::stable_sort(inputs.begin(), inputs.end(),
                      [](const std::string &a, const std::string &b) {
                          if (a.size() != b.size()) return a.size() > b.size();

@@ -136,3 +136,37 @@ def test_native_assemble_error_tolerant_consensus():
     contigs = list(native.assemble(reads, min_overlap=45))
     best = max(contigs, key=len)
     assert best == g or dna.revcom(best) == g
+
+
+def test_spectral_correction_repairs_errors_conservatively():
+    """BFC-analog spectral correction: repairs isolated substitution errors
+    against the partition k-mer spectrum without ever miscorrecting a base
+    that agrees with the truth (anchored runs + unique-repair rule)."""
+    import random
+    from kevlar_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip('native library unavailable')
+
+    rng = random.Random(5)
+    genome = ''.join(rng.choice('ACGT') for _ in range(600))
+    reads, truth = [], []
+    for i in range(0, len(genome) - 100, 5):
+        r = list(genome[i:i + 100])
+        truth.append(''.join(r))
+        for p in range(len(r)):
+            if rng.random() < 0.01:
+                r[p] = rng.choice([b for b in 'ACGT' if b != r[p]])
+        reads.append(''.join(r))
+    before = sum(a != b for r, t in zip(reads, truth) for a, b in zip(r, t))
+    corrected = native.correct(reads)
+    after = sum(a != b for r, t in zip(corrected, truth)
+                for a, b in zip(r, t))
+    miscorrections = sum(
+        1 for r, c, t in zip(reads, corrected, truth)
+        for a, b, g in zip(r, c, t) if a == g and b != g)
+    assert miscorrections == 0
+    assert after < before * 0.25
+
+    # error-free input is untouched
+    assert native.correct(truth) == truth
