@@ -19,7 +19,8 @@ def alac(pstream, refrfile, threads=1, ksize=31, maxreads=10000, delta=50,
     from kevlar_tpu import localize as localize_mod
     from kevlar_tpu import call as call_mod
 
-    assembler = assemble_mod.assemble(pstream, maxreads=maxreads)
+    assembler = assemble_mod.assemble(pstream, maxreads=maxreads,
+                                      threads=threads)
     contigs_by_partition = defaultdict(list)
     for partid, contig in assembler:
         if min_ikmers is not None and len(contig.annotations) < min_ikmers:

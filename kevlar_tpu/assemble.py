@@ -126,23 +126,55 @@ def assemble_fml_asm(partition, logstream=None):
         yield next(augment_mod.augment(reads, [record]))
 
 
-def assemble(partstream, maxreads=10000):
+def assemble(partstream, maxreads=10000, threads=1):
+    """Assemble every partition; yields (partid, contig).
+
+    With ``threads > 1`` partitions assemble concurrently (the native
+    assembler releases the GIL inside kt_assemble), with results emitted in
+    partition order so contig numbering is identical to a serial run.
+    """
     n = 0
     pn = 0
-    for partid, partition in partstream:
-        pn += 1
-        numreads = len(partition)
-        if numreads > maxreads:
-            kevlar_tpu.plog('[kevlar::assemble] WARNING: skipping partition '
-                            'with {:d} reads'.format(numreads))
-            continue
-        for contig in assemble_fml_asm(partition):
-            n += 1
-            newname = 'contig{}'.format(n)
-            if partid is not None:
-                newname += ' kvcc={}'.format(partid)
-            contig.name = newname
-            yield partid, contig
+
+    def worker(partition):
+        return list(assemble_fml_asm(partition))
+
+    if threads and threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        parts = []
+        for partid, partition in partstream:
+            pn += 1
+            if len(partition) > maxreads:
+                kevlar_tpu.plog('[kevlar::assemble] WARNING: skipping '
+                                'partition with {:d} reads'.format(
+                                    len(partition)))
+                continue
+            parts.append((partid, partition))
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            results = pool.map(worker, [p for _, p in parts])
+            for (partid, _), contigs in zip(parts, results):
+                for contig in contigs:
+                    n += 1
+                    newname = 'contig{}'.format(n)
+                    if partid is not None:
+                        newname += ' kvcc={}'.format(partid)
+                    contig.name = newname
+                    yield partid, contig
+    else:
+        for partid, partition in partstream:
+            pn += 1
+            numreads = len(partition)
+            if numreads > maxreads:
+                kevlar_tpu.plog('[kevlar::assemble] WARNING: skipping '
+                                'partition with {:d} reads'.format(numreads))
+                continue
+            for contig in assemble_fml_asm(partition):
+                n += 1
+                newname = 'contig{}'.format(n)
+                if partid is not None:
+                    newname += ' kvcc={}'.format(partid)
+                contig.name = newname
+                yield partid, contig
     kevlar_tpu.plog('[kevlar::assemble] processed {} partitions and '
                     'assembled {} contigs'.format(pn, n))
 

@@ -121,3 +121,41 @@ def test_pipeline_vcf_output(pipeline_calls, tmp_path):
     # roundtrip through the reader
     variants = list(VCFReader(io.StringIO(text)))
     assert len(variants) == len(d['calls'])
+
+
+def test_alac_threads_identical_calls(pipeline_calls, tmp_path):
+    """alac --threads N must produce byte-identical calls to a serial run
+    (the reference advertises --threads but runs serially, cli/alac.py:92-94;
+    here partitions genuinely assemble+align in parallel)."""
+    import random
+    from kevlar_tpu.batch import batches_from_records
+    d = pipeline_calls
+    rng = random.Random(20260817)
+
+    child_reads = simdata.tiled_reads(d['child'], readlen=100, step=5,
+                                      prefix='child')
+    mom_reads = simdata.tiled_reads(d['genome'], readlen=100, step=5,
+                                    prefix='mom')
+
+    def count_reads(reads):
+        ct = Sketch(KSIZE, 1000003, 4, counter_bits=8)
+        for b in batches_from_records(iter(reads)):
+            ct.consume_batch(b.bases)
+        return ct
+
+    case = count_reads(child_reads)
+    mom = count_reads(mom_reads)
+    refrfile = str(tmp_path / 'refr.fa')
+    simdata.write_fasta({'chr1': d['genome']}, refrfile)
+
+    novelreads = list(novel(iter(child_reads), [case], [mom], ksize=KSIZE,
+                            casemin=6, ctrlmax=0))
+
+    def run(threads):
+        pstream = partition(iter(list(novelreads)), minabund=2, maxabund=200)
+        return [(c.seqid, c.position, c._refr, c._alt, c.filterstr,
+                 c.attribute('CONTIG'))
+                for c in alac(pstream, refrfile, ksize=KSIZE, seedsize=51,
+                              delta=50, threads=threads)]
+
+    assert run(1) == run(4)
