@@ -142,7 +142,7 @@ def run_mark1(config, logstream=None):
     pstream = seqio.parse_partitioned_reads(reader)
     prelimfile = path('calls.prelim.vcf')
     calls = alac_mod.alac(
-        pstream, refrfile, ksize=ksize,
+        pstream, refrfile, ksize=ksize, threads=config.get('threads', 1),
         seedsize=loc.get('seed_size', 51), delta=loc.get('delta', 50),
         maskfile=path('callmask.nt'))
     with kevlar_tpu.open(prelimfile, 'w') as fh:
