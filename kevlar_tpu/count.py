@@ -54,7 +54,9 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
                 packed, badmask = pack_bases(stacked)
                 sketch.tables = sketch_ops.consume_batch_stack_packed(
                     sketch.tables, packed, badmask, L=stacked.shape[-1],
-                    ksize=sketch.ksize(), maxcount=sketch.maxcount)
+                    ksize=sketch.ksize(), maxcount=sketch.maxcount,
+                    counter_bits=sketch.counter_bits,
+                    tablesize=sketch.tablesize)
                 sketch._invalidate()
             else:
                 sketch.consume_batch_stack(

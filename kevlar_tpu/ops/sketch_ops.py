@@ -18,14 +18,65 @@ import jax.numpy as jnp
 
 from kevlar_tpu.ops import hashing
 
+# counters per byte of device storage (khmer memory parity: 1-bit Nodetables
+# pack 8 buckets/byte, 4-bit SmallCounttables 2/byte; bit order LSB-first,
+# i.e. bucket i lives in bits [bits*(i % cpb), ...) of byte i // cpb)
+COUNTERS_PER_BYTE = {1: 8, 4: 2, 8: 1}
 
-def gather_counts(tables, h1, h2):
-    """Min-over-tables count for each (h1, h2) hash pair. Any shape."""
-    ntables, tablesize = tables.shape
+
+def packed_width(tablesize, counter_bits):
+    """Bytes per table row for `tablesize` buckets at `counter_bits`."""
+    cpb = COUNTERS_PER_BYTE[counter_bits]
+    return -(-int(tablesize) // cpb)
+
+
+def unpack_counter_row(row, counter_bits, tablesize):
+    """uint8 packed row -> uint8 [tablesize] counter values."""
+    if counter_bits == 8:
+        return row
+    if counter_bits == 4:
+        out = jnp.stack([row & jnp.uint8(0xF), row >> jnp.uint8(4)],
+                        axis=-1).reshape(-1)
+    else:
+        shifts = jnp.arange(8, dtype=jnp.uint8)
+        out = ((row[:, None] >> shifts[None, :]) & jnp.uint8(1)).reshape(-1)
+    return out[:tablesize]
+
+
+def pack_counter_row(row, counter_bits):
+    """uint8 [tablesize] counter values -> packed uint8 row."""
+    if counter_bits == 8:
+        return row
+    cpb = COUNTERS_PER_BYTE[counter_bits]
+    Z = row.shape[0]
+    pad = (-Z) % cpb
+    if pad:
+        row = jnp.concatenate([row, jnp.zeros((pad,), jnp.uint8)])
+    r = row.reshape(-1, cpb).astype(jnp.uint32)
+    shifts = jnp.arange(cpb, dtype=jnp.uint32) * jnp.uint32(counter_bits)
+    return jnp.sum(r << shifts[None, :], axis=1).astype(jnp.uint8)
+
+
+def gather_counts(tables, h1, h2, counter_bits=8, tablesize=None):
+    """Min-over-tables count for each (h1, h2) hash pair. Any shape.
+
+    ``tables`` is the (possibly bit-packed) uint8 device array; for
+    sub-byte counters pass the true ``tablesize`` (bucket count).
+    """
+    ntables = tables.shape[0]
+    if counter_bits == 8:
+        tablesize = tables.shape[1]
     counts = None
     for t in range(ntables):
-        idx = hashing.table_index(h1, h2, t, tablesize)
-        c = tables[t][idx.astype(jnp.int32)]
+        idx = hashing.table_index(h1, h2, t, tablesize).astype(jnp.int32)
+        if counter_bits == 8:
+            c = tables[t][idx]
+        elif counter_bits == 4:
+            byte = tables[t][idx >> 1]
+            c = (byte >> ((idx & 1) << 2).astype(jnp.uint8)) & jnp.uint8(0xF)
+        else:
+            byte = tables[t][idx >> 3]
+            c = (byte >> (idx & 7).astype(jnp.uint8)) & jnp.uint8(1)
         counts = c if counts is None else jnp.minimum(counts, c)
     return counts
 
@@ -75,16 +126,26 @@ def gather_counts_multi(packed_words, nsamples, h1, h2):
     return jnp.stack(per_sample)
 
 
-def _apply_mask_screen(mask_tables, h1, h2, valid, threshold, consume_masked):
-    mcnt = gather_counts(mask_tables, h1, h2)
+def _apply_mask_screen(mask_tables, h1, h2, valid, threshold, consume_masked,
+                       mask_bits=8, mask_tablesize=None):
+    mcnt = gather_counts(mask_tables, h1, h2, counter_bits=mask_bits,
+                         tablesize=mask_tablesize)
     if consume_masked:
         return valid & (mcnt >= jnp.uint8(threshold))
     return valid & (mcnt <= jnp.uint8(threshold))
 
 
-def _consume_hashes(tables, h1, h2, valid, maxcount):
-    """Saturating-add each valid hash into every table; returns new tables."""
-    ntables, tablesize = tables.shape
+def _consume_hashes(tables, h1, h2, valid, maxcount, counter_bits=8,
+                    tablesize=None):
+    """Saturating-add each valid hash into every table; returns new tables.
+
+    For sub-byte counters the persistent row stays bit-packed (khmer memory
+    parity); it is unpacked, updated, and repacked per batch — all
+    elementwise VPU work, small next to the scatter itself.
+    """
+    ntables = tables.shape[0]
+    if counter_bits == 8:
+        tablesize = tables.shape[1]
     h1f = h1.ravel()
     h2f = h2.ravel()
     vf = valid.ravel().astype(jnp.int32)
@@ -93,19 +154,23 @@ def _consume_hashes(tables, h1, h2, valid, maxcount):
         idx = hashing.table_index(h1f, h2f, t, tablesize).astype(jnp.int32)
         inc = jnp.zeros((tablesize,), dtype=jnp.int32).at[idx].add(
             vf, mode='drop')
-        row = jnp.minimum(tables[t].astype(jnp.int32) + inc, maxcount)
-        new_rows.append(row.astype(jnp.uint8))
+        row = unpack_counter_row(tables[t], counter_bits, tablesize)
+        row = jnp.minimum(row.astype(jnp.int32) + inc,
+                          maxcount).astype(jnp.uint8)
+        new_rows.append(pack_counter_row(row, counter_bits))
     return jnp.stack(new_rows)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=('ksize', 'maxcount', 'numbands', 'band', 'mask_threshold',
-                     'consume_masked', 'has_mask'),
+                     'consume_masked', 'has_mask', 'counter_bits', 'tablesize',
+                     'mask_bits', 'mask_tablesize'),
     donate_argnames=('tables',))
 def consume_batch(tables, bases, ksize, maxcount, numbands=None, band=None,
                   mask_tables=None, has_mask=False, mask_threshold=0,
-                  consume_masked=False):
+                  consume_masked=False, counter_bits=8, tablesize=None,
+                  mask_bits=8, mask_tablesize=None):
     """Count every k-mer of a padded read batch into the sketch.
 
     Returns (new_tables, n_kmers_consumed).  Banding keeps only k-mers whose
@@ -120,19 +185,25 @@ def consume_batch(tables, bases, ksize, maxcount, numbands=None, band=None,
         valid = valid & ((h1 & jnp.uint32(numbands - 1)) == jnp.uint32(band))
     if has_mask:
         valid = _apply_mask_screen(mask_tables, h1, h2, valid,
-                                   mask_threshold, consume_masked)
-    new_tables = _consume_hashes(tables, h1, h2, valid, maxcount)
+                                   mask_threshold, consume_masked,
+                                   mask_bits, mask_tablesize)
+    new_tables = _consume_hashes(tables, h1, h2, valid, maxcount,
+                                 counter_bits, tablesize)
     return new_tables, jnp.sum(valid.astype(jnp.int32))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=('ksize', 'maxcount', 'numbands', 'band',
-                     'mask_threshold', 'consume_masked', 'has_mask'),
+                     'mask_threshold', 'consume_masked', 'has_mask',
+                     'counter_bits', 'tablesize', 'mask_bits',
+                     'mask_tablesize'),
     donate_argnames=('tables',))
 def consume_batch_stack(tables, bases_stack, ksize, maxcount, numbands=None,
                         band=None, mask_tables=None, has_mask=False,
-                        mask_threshold=0, consume_masked=False):
+                        mask_threshold=0, consume_masked=False,
+                        counter_bits=8, tablesize=None, mask_bits=8,
+                        mask_tablesize=None):
     """Count a [NB, B, L] stack of read batches in ONE device dispatch.
 
     Scans over the leading axis — the compiled program is the same size as a
@@ -147,8 +218,10 @@ def consume_batch_stack(tables, bases_stack, ksize, maxcount, numbands=None,
                              == jnp.uint32(band))
         if has_mask:
             valid = _apply_mask_screen(mask_tables, h1, h2, valid,
-                                       mask_threshold, consume_masked)
-        return _consume_hashes(tbl, h1, h2, valid, maxcount), None
+                                       mask_threshold, consume_masked,
+                                       mask_bits, mask_tablesize)
+        return _consume_hashes(tbl, h1, h2, valid, maxcount,
+                               counter_bits, tablesize), None
 
     new_tables, _ = jax.lax.scan(body, tables, bases_stack)
     return new_tables
@@ -157,12 +230,16 @@ def consume_batch_stack(tables, bases_stack, ksize, maxcount, numbands=None,
 @functools.partial(
     jax.jit,
     static_argnames=('ksize', 'maxcount', 'L', 'numbands', 'band',
-                     'mask_threshold', 'consume_masked', 'has_mask'),
+                     'mask_threshold', 'consume_masked', 'has_mask',
+                     'counter_bits', 'tablesize', 'mask_bits',
+                     'mask_tablesize'),
     donate_argnames=('tables',))
 def consume_batch_stack_packed(tables, packed_stack, badmask_stack, L, ksize,
                                maxcount, numbands=None, band=None,
                                mask_tables=None, has_mask=False,
-                               mask_threshold=0, consume_masked=False):
+                               mask_threshold=0, consume_masked=False,
+                               counter_bits=8, tablesize=None, mask_bits=8,
+                               mask_tablesize=None):
     """Stacked consume over the 2-bit wire format (3.7x less H2D traffic);
     bases are unpacked on-device per scan step."""
     def body(tbl, inp):
@@ -174,27 +251,34 @@ def consume_batch_stack_packed(tables, packed_stack, badmask_stack, L, ksize,
                              == jnp.uint32(band))
         if has_mask:
             valid = _apply_mask_screen(mask_tables, h1, h2, valid,
-                                       mask_threshold, consume_masked)
-        return _consume_hashes(tbl, h1, h2, valid, maxcount), None
+                                       mask_threshold, consume_masked,
+                                       mask_bits, mask_tablesize)
+        return _consume_hashes(tbl, h1, h2, valid, maxcount,
+                               counter_bits, tablesize), None
 
     new_tables, _ = jax.lax.scan(body, tables,
                                  (packed_stack, badmask_stack))
     return new_tables
 
 
-@functools.partial(jax.jit, static_argnames=('maxcount',),
+@functools.partial(jax.jit,
+                   static_argnames=('maxcount', 'counter_bits', 'tablesize'),
                    donate_argnames=('tables',))
-def consume_hash_batch(tables, h1, h2, valid, maxcount):
+def consume_hash_batch(tables, h1, h2, valid, maxcount, counter_bits=8,
+                       tablesize=None):
     """Count pre-hashed k-mers (used by `filter` re-counting)."""
-    new_tables = _consume_hashes(tables, h1, h2, valid, maxcount)
+    new_tables = _consume_hashes(tables, h1, h2, valid, maxcount,
+                                 counter_bits, tablesize)
     return new_tables, jnp.sum(valid.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=('ksize',))
-def query_batch(tables, bases, ksize):
+@functools.partial(jax.jit,
+                   static_argnames=('ksize', 'counter_bits', 'tablesize'))
+def query_batch(tables, bases, ksize, counter_bits=8, tablesize=None):
     """Counts for every k-mer of a padded read batch: [..., P] uint8."""
     h1, h2, valid = hashing.kmer_hashes(bases, ksize)
-    counts = gather_counts(tables, h1, h2)
+    counts = gather_counts(tables, h1, h2, counter_bits=counter_bits,
+                           tablesize=tablesize)
     return jnp.where(valid, counts, jnp.uint8(0)), valid
 
 

@@ -46,6 +46,31 @@ COUNTER_BITS_BY_EXTENSION = {
 BUCKETS_PER_BYTE = {1: 8, 4: 2, 8: 1}
 MAXCOUNT = {1: 1, 4: 15, 8: 255}
 
+def _np_pack(tables, bits):
+    """[T, Z] uint8 counter values -> bit-packed rows (LSB-first, matching
+    sketch_ops.pack_counter_row)."""
+    if bits == 8:
+        return tables
+    if bits == 1:
+        return np.packbits(tables.astype(bool), axis=1, bitorder='little')
+    Z = tables.shape[1]
+    pad = (-Z) % 2
+    t = np.pad(tables, ((0, 0), (0, pad)))
+    return (t[:, 0::2] | (t[:, 1::2] << 4)).astype(np.uint8)
+
+
+def _np_unpack(packed, bits, Z):
+    """bit-packed rows -> [T, Z] uint8 counter values."""
+    if bits == 8:
+        return packed
+    if bits == 1:
+        return np.unpackbits(packed, axis=1, bitorder='little')[:, :Z]
+    out = np.empty((packed.shape[0], packed.shape[1] * 2), np.uint8)
+    out[:, 0::2] = packed & 0xF
+    out[:, 1::2] = packed >> 4
+    return out[:, :Z]
+
+
 # (count?, graph?, smallcount?) -> extensions, mirroring the reference's
 # sketch_extensions_by_trait registry (sketch.py:30-51)
 def get_extension(count=False, graph=False, smallcount=False):
@@ -87,11 +112,16 @@ class Sketch:
                 self.tables = np.asarray(tables, dtype=np.uint8)
             self._host_tables = self.tables
         else:
+            # sub-byte counters stay bit-packed in device memory (khmer
+            # memory parity: 1-bit Nodetables 8 buckets/byte, 4-bit
+            # SmallCounttables 2/byte); `tables` inputs arrive unpacked
+            width = sketch_ops.packed_width(tablesize, self.counter_bits)
             if tables is None:
-                self.tables = jnp.zeros((self.ntables, tablesize),
+                self.tables = jnp.zeros((self.ntables, width),
                                         dtype=jnp.uint8)
             else:
-                self.tables = jnp.asarray(tables, dtype=jnp.uint8)
+                self.tables = jnp.asarray(_np_pack(
+                    np.asarray(tables, dtype=np.uint8), self.counter_bits))
             self._host_tables = None
 
     # -- khmer-parity introspection ------------------------------------
@@ -119,10 +149,11 @@ class Sketch:
         frac = occ / self.tablesize
         return int(round(-self.tablesize * np.log1p(-frac)))
 
-    # -- host mirror ----------------------------------------------------
+    # -- host mirror (always unpacked counter values) ---------------------
     def _host(self):
         if self._host_tables is None:
-            self._host_tables = np.asarray(self.tables)
+            self._host_tables = _np_unpack(
+                np.asarray(self.tables), self.counter_bits, self.tablesize)
         return self._host_tables
 
     def _invalidate(self):
@@ -268,7 +299,10 @@ class Sketch:
             self.tables, jnp.asarray(bases), ksize=self._ksize,
             maxcount=self.maxcount, numbands=numbands, band=band,
             mask_tables=mask_tables, has_mask=mask is not None,
-            mask_threshold=mask_threshold, consume_masked=consume_masked)
+            mask_threshold=mask_threshold, consume_masked=consume_masked,
+            counter_bits=self.counter_bits, tablesize=self.tablesize,
+            mask_bits=mask.counter_bits if mask is not None else 8,
+            mask_tablesize=mask.tablesize if mask is not None else None)
         self._invalidate()
         return n
 
@@ -287,7 +321,10 @@ class Sketch:
             self.tables, jnp.asarray(bases_stack), ksize=self._ksize,
             maxcount=self.maxcount, numbands=numbands, band=band,
             mask_tables=mask_tables, has_mask=mask is not None,
-            mask_threshold=mask_threshold, consume_masked=consume_masked)
+            mask_threshold=mask_threshold, consume_masked=consume_masked,
+            counter_bits=self.counter_bits, tablesize=self.tablesize,
+            mask_bits=mask.counter_bits if mask is not None else 8,
+            mask_tablesize=mask.tablesize if mask is not None else None)
         self._invalidate()
 
     def consume_hashes(self, h1, h2, valid=None):
@@ -298,14 +335,17 @@ class Sketch:
             valid = jnp.ones(h1.shape, dtype=bool)
         self.tables, n = sketch_ops.consume_hash_batch(
             self.tables, jnp.asarray(h1), jnp.asarray(h2), jnp.asarray(valid),
-            maxcount=self.maxcount)
+            maxcount=self.maxcount, counter_bits=self.counter_bits,
+            tablesize=self.tablesize)
         self._invalidate()
         return int(n)
 
     def query_batch(self, bases):
         """Device query: counts [B, P] uint8 + validity for a base batch."""
         return sketch_ops.query_batch(self.tables, jnp.asarray(bases),
-                                      self._ksize)
+                                      self._ksize,
+                                      counter_bits=self.counter_bits,
+                                      tablesize=self.tablesize)
 
     # -- persistence ------------------------------------------------------
     def save(self, filename):

@@ -182,3 +182,24 @@ def test_packed_multi_sample_gather_matches_per_sample():
         got = sketch_ops.gather_counts_multi(packed, nsamples, h1, h2)
         assert got.dtype == ref.dtype
         assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_packed_counter_storage_matches_host():
+    """1/4-bit sketches store bit-packed rows on device (khmer memory
+    parity) and must agree with the unpacked host backend bit-for-bit,
+    including saturation and the packed save/load roundtrip."""
+    import numpy as np
+    from kevlar_tpu.ops import sketch_ops
+
+    rng = np.random.default_rng(11)
+    seqs = [''.join(rng.choice(list('ACGT'), 60)) for _ in range(20)]
+    for bits in (1, 4, 8):
+        dev = Sketch(21, 499, 4, counter_bits=bits)
+        host = Sketch(21, 499, 4, counter_bits=bits, backend='host')
+        assert dev.tables.shape[1] == sketch_ops.packed_width(499, bits)
+        for s in seqs * 2:
+            dev.consume(s)
+            host.consume(s)
+        assert np.array_equal(dev._host(), host.tables)
+        for s in seqs[:4]:
+            assert dev.get_kmer_counts(s) == host.get_kmer_counts(s)
