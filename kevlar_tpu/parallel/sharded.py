@@ -37,7 +37,8 @@ from kevlar_tpu.sketch import MAXCOUNT
 
 
 def _local_consume(tables_local, h1, h2, valid, shard_size, total, ntables,
-                   maxcount):
+                   maxcount, counter_bits=8):
+    from kevlar_tpu.ops import sketch_ops
     shard_id = lax.axis_index('shard')
     lo = (shard_id * shard_size).astype(jnp.int32)
     h1f, h2f, vf = h1.ravel(), h2.ravel(), valid.ravel()
@@ -52,12 +53,16 @@ def _local_consume(tables_local, h1, h2, valid, shard_size, total, ntables,
         inc = jnp.zeros((shard_size,), jnp.int32).at[lidx_safe].add(
             ok.astype(jnp.int32), mode='drop')
         inc = lax.psum(inc, 'data')
-        rows.append(jnp.minimum(tables_local[t].astype(jnp.int32) + inc,
-                                maxcount).astype(jnp.uint8))
+        row = sketch_ops.unpack_counter_row(tables_local[t], counter_bits,
+                                            shard_size)
+        row = jnp.minimum(row.astype(jnp.int32) + inc,
+                          maxcount).astype(jnp.uint8)
+        rows.append(sketch_ops.pack_counter_row(row, counter_bits))
     return jnp.stack(rows)
 
 
-def _local_gather(tables_local, h1, h2, shard_size, total, ntables):
+def _local_gather(tables_local, h1, h2, shard_size, total, ntables,
+                  counter_bits=8):
     """Min-over-tables count with non-owned buckets as sentinel 255."""
     shard_id = lax.axis_index('shard')
     lo = (shard_id * shard_size).astype(jnp.int32)
@@ -67,9 +72,16 @@ def _local_gather(tables_local, h1, h2, shard_size, total, ntables):
             jnp.int32)
         lidx = gidx - lo
         ok = (lidx >= 0) & (lidx < shard_size)
-        c = jnp.where(ok,
-                      tables_local[t][jnp.clip(lidx, 0, shard_size - 1)],
-                      jnp.uint8(255))
+        lc = jnp.clip(lidx, 0, shard_size - 1)
+        if counter_bits == 8:
+            c = tables_local[t][lc]
+        elif counter_bits == 4:
+            byte = tables_local[t][lc >> 1]
+            c = (byte >> ((lc & 1) << 2).astype(jnp.uint8)) & jnp.uint8(0xF)
+        else:
+            byte = tables_local[t][lc >> 3]
+            c = (byte >> (lc & 7).astype(jnp.uint8)) & jnp.uint8(1)
+        c = jnp.where(ok, c, jnp.uint8(255))
         counts = c if counts is None else jnp.minimum(counts, c)
     return lax.pmin(counts, 'shard')
 
@@ -124,10 +136,17 @@ class ShardedSketch:
         n_shard = mesh.shape['shard']
         total = int(total_tablesize)
         self.shard_size = -(-total // n_shard)  # ceil
+        # shards must pack to whole bytes (sub-byte counters store 8 or 2
+        # buckets per byte, matching the single-device Sketch layout)
+        self.shard_size += (-self.shard_size) % 8
         self.tablesize = self.shard_size * n_shard  # padded to even shards
+        from kevlar_tpu.ops import sketch_ops
+        self.shard_width = sketch_ops.packed_width(self.shard_size,
+                                                   self.counter_bits)
         sharding = NamedSharding(mesh, P(None, 'shard'))
         self.tables = jax.device_put(
-            jnp.zeros((self.ntables, self.tablesize), dtype=jnp.uint8),
+            jnp.zeros((self.ntables, self.shard_width * n_shard),
+                      dtype=jnp.uint8),
             sharding)
 
     def ksize(self):
@@ -139,7 +158,14 @@ class ShardedSketch:
     # -- Sketch-interface parity (host-side queries over gathered mirror) --
     def _host(self):
         if getattr(self, '_host_tables', None) is None:
-            self._host_tables = np.asarray(self.tables)
+            from kevlar_tpu.sketch import _np_unpack
+            packed = np.asarray(self.tables)
+            n_shard = self.mesh.shape['shard']
+            per_shard = packed.reshape(
+                self.ntables * n_shard, self.shard_width)
+            self._host_tables = _np_unpack(
+                per_shard, self.counter_bits, self.shard_size).reshape(
+                    self.ntables, self.tablesize)
         return self._host_tables
 
     def _invalidate(self):
@@ -186,10 +212,11 @@ class ShardedSketch:
         if not filename.endswith('.npz') and os.path.exists(filename + '.npz'):
             os.replace(filename + '.npz', filename)
 
-    def _consume_fn(self, has_mask, mask_threshold, consume_masked):
+    def _consume_fn(self, has_mask, mask_threshold, consume_masked,
+                    mask_bits=8):
         # memoize: a fresh jax.jit wrapper per call would defeat the
         # compilation cache
-        key = (has_mask, mask_threshold, consume_masked)
+        key = (has_mask, mask_threshold, consume_masked, mask_bits)
         cache = getattr(self, '_fn_cache', None)
         if cache is None:
             cache = self._fn_cache = {}
@@ -199,6 +226,7 @@ class ShardedSketch:
         ksize = self._ksize
         shard_size, total = self.shard_size, self.tablesize
         ntables, maxcount = self.ntables, self.maxcount
+        bits = self.counter_bits
 
         if has_mask:
             @jax.jit
@@ -210,13 +238,14 @@ class ShardedSketch:
             def consume(tables_local, mask_local, bases_local):
                 h1, h2, valid = hashing.kmer_hashes(bases_local, ksize)
                 mcnt = _local_gather(mask_local, h1, h2, shard_size, total,
-                                     ntables)
+                                     ntables, mask_bits)
                 if consume_masked:
                     valid = valid & (mcnt >= jnp.uint8(mask_threshold))
                 else:
                     valid = valid & (mcnt <= jnp.uint8(mask_threshold))
                 return _local_consume(tables_local, h1, h2, valid,
-                                      shard_size, total, ntables, maxcount)
+                                      shard_size, total, ntables, maxcount,
+                                      bits)
             cache[key] = consume
             return consume
 
@@ -228,7 +257,7 @@ class ShardedSketch:
         def consume(tables_local, bases_local):
             h1, h2, valid = hashing.kmer_hashes(bases_local, ksize)
             return _local_consume(tables_local, h1, h2, valid, shard_size,
-                                  total, ntables, maxcount)
+                                  total, ntables, maxcount, bits)
         cache[key] = consume
         return consume
 
@@ -249,7 +278,8 @@ class ShardedSketch:
                 'sharded consume requires a same-layout sharded mask'
             assert mask.tablesize == self.tablesize
             fn = self._consume_fn(True, int(mask_threshold),
-                                  bool(consume_masked))
+                                  bool(consume_masked),
+                                  mask_bits=mask.counter_bits)
             self.tables = fn(self.tables, mask.tables, bases)
         else:
             fn = self._consume_fn(False, 0, False)
@@ -275,6 +305,7 @@ class ShardedSketch:
         ksize = self._ksize
         shard_size, total, ntables = \
             self.shard_size, self.tablesize, self.ntables
+        bits = self.counter_bits
 
         @jax.jit
         @functools.partial(
@@ -284,7 +315,7 @@ class ShardedSketch:
         def query(tables_local, bases_local):
             h1, h2, valid = hashing.kmer_hashes(bases_local, ksize)
             counts = _local_gather(tables_local, h1, h2, shard_size, total,
-                                   ntables)
+                                   ntables, bits)
             return jnp.where(valid, counts, jnp.uint8(0)), valid
 
         cache['query'] = query
@@ -312,6 +343,7 @@ def sharded_novel_screen(mesh, case_sketches, ctrl_sketches, bases, lengths,
     s0 = case_sketches[0]
     ksize = s0.ksize()
     shard_size, total, ntables = s0.shard_size, s0.tablesize, s0.ntables
+    s0_bits = s0.counter_bits
     n_case, n_ctrl = len(case_sketches), len(ctrl_sketches)
 
     bases = np.asarray(bases)
@@ -327,7 +359,7 @@ def sharded_novel_screen(mesh, case_sketches, ctrl_sketches, bases, lengths,
     table_specs = tuple(P(None, 'shard') for _ in range(n_case + n_ctrl))
 
     fn_key = (mesh, ksize, shard_size, total, ntables, n_case, n_ctrl,
-              casemin, ctrlmax, screen)
+              casemin, ctrlmax, screen, s0_bits)
     if fn_key in _screen_fn_cache:
         _screen_step = _screen_fn_cache[fn_key]
         all_tables = tuple(s.tables for s in case_sketches) + \
@@ -354,8 +386,12 @@ def sharded_novel_screen(mesh, case_sketches, ctrl_sketches, bases, lengths,
             lengths_local.astype(jnp.int32)[:, None], axis=1)[:, 0]
         skip = (total_bad > 0) | (lengths_local < ksize)
 
-        counts = _local_gather_multi(list(all_tables), h1, h2, shard_size,
-                                     total, ntables)
+        if s0_bits == 8:
+            counts = _local_gather_multi(list(all_tables), h1, h2,
+                                         shard_size, total, ntables)
+        else:  # sub-byte counttables: per-sample packed gathers
+            counts = [_local_gather(t, h1, h2, shard_size, total, ntables,
+                                    s0_bits) for t in all_tables]
         case_counts = jnp.stack(counts[:n_case])
         ctrl_counts = jnp.stack(counts[n_case:]) if n_ctrl else \
             jnp.zeros((0,) + h1.shape, jnp.uint8)

@@ -126,3 +126,28 @@ def test_sharded_end_to_end_novel_stage(tmp_path):
     loaded = sketch_mod.load(path)
     kmer = child_genome[590:590 + KSIZE]
     assert loaded.get(kmer) == case_sh.get(kmer)
+
+
+def test_sharded_packed_counters_match_host():
+    """Sub-byte sharded sketches keep per-shard bit-packed rows and must
+    agree with the unpacked single-device host backend."""
+    import numpy as np
+    from kevlar_tpu.parallel import make_mesh, ShardedSketch
+    from kevlar_tpu.sketch import Sketch
+    from kevlar_tpu import dna
+
+    mesh = make_mesh(n_data=2, n_shard=4)
+    rng = np.random.default_rng(4)
+    bases = rng.integers(0, 4, size=(16, 64)).astype(np.uint8)
+    for bits in (1, 4):
+        sh = ShardedSketch(mesh, 21, 4096, counter_bits=bits)
+        single = Sketch(21, sh.tablesize, 4, counter_bits=bits,
+                        backend='host')
+        sh.consume_batch(bases)
+        single.consume_batch(bases)
+        assert sh.tables.shape[1] * {1: 8, 4: 2}[bits] == sh.tablesize
+        assert np.array_equal(sh._host(), single.tables)
+        counts, valid = sh.query_batch(bases)
+        h1, h2, v = dna.kmer_hashes(bases, 21)
+        expected = np.where(v, single._host_counts(h1, h2), 0)
+        assert np.array_equal(counts, expected.astype(np.uint8))
