@@ -146,3 +146,70 @@ def test_call_ssc_isolated_snv(ccid, varcall):
     calls = list(call(list(t), list(q)))
     assert len(calls) == 1
     assert str(calls[0]) == varcall
+
+
+def test_partition_dedup_and_nodedup():
+    """PCR-duplicate handling on the reference's dup.augfastq (reference
+    test_partition.py::test_partition_dedup / _nodedup): 16 unique reads in
+    one component with dedup, 18 without."""
+    from kevlar_tpu.partition import partition
+    rs = kevlar_tpu.parse_augmented_fastx(
+        kevlar_tpu.open(data_file('dup.augfastq'), 'r'))
+    parts = list(partition(rs))
+    assert len(parts) == 1 and len(parts[0][1]) == 16
+    rs = kevlar_tpu.parse_augmented_fastx(
+        kevlar_tpu.open(data_file('dup.augfastq'), 'r'))
+    parts = list(partition(rs, dedup=False))
+    assert len(parts) == 1 and len(parts[0][1]) == 18
+
+
+def test_partition_minabund_drops_all():
+    """Shared-k-mer abundance floor (reference test_partition.py::
+    test_partition_{dedup,nodedup}_minabund): no partitions survive."""
+    from kevlar_tpu.partition import partition
+    rs = kevlar_tpu.parse_augmented_fastx(
+        kevlar_tpu.open(data_file('dupl-part.augfastq.gz'), 'r'))
+    assert list(partition(rs, minabund=5)) == []
+    rs = kevlar_tpu.parse_augmented_fastx(
+        kevlar_tpu.open(data_file('dupl-part-2reads.augfastq.gz'), 'r'))
+    assert list(partition(rs, minabund=5, dedup=False)) == []
+
+
+def test_partition_pico_ccs():
+    """10 connected components on pico-filtered (reference
+    test_partition.py::test_pico_ccs)."""
+    from kevlar_tpu.partition import partition
+    rs = kevlar_tpu.parse_augmented_fastx(
+        kevlar_tpu.open(data_file('pico-filtered.fq.gz'), 'r'))
+    assert len(list(partition(rs, minabund=6))) == 10
+
+
+def test_varfilter_single_region():
+    """BED-region filtering (reference test_varfilter.py::
+    test_varfilter_single): 5 calls, exactly one UserFilter'd at
+    chr17:36385017."""
+    from kevlar_tpu import varfilter as vf
+    from kevlar_tpu import vcf as vcf_mod
+    bedstream = kevlar_tpu.parse_bed(
+        kevlar_tpu.open(data_file('fiveparts-ignore-single.bed'), 'r'))
+    with kevlar_tpu.open(data_file('five-snvs-with-likelihood.vcf'),
+                         'r') as vs:
+        calls = list(vf.varfilter(vcf_mod.VCFReader(vs), bedstream))
+    assert len(calls) == 5
+    filtered = [c for c in calls if c.filterstr != 'PASS']
+    assert len(filtered) == 1
+    assert filtered[0].position == 36385017
+
+
+def test_varfilter_load_predictions_multi_chrom():
+    """Interval-forest indexing (reference test_varfilter.py::
+    test_load_predictions_multi_chrom)."""
+    from kevlar_tpu import varfilter as vf
+    from kevlar_tpu import vcf as vcf_mod
+    with kevlar_tpu.open(data_file('case-low-abund/calls.vcf.gz'),
+                         'r') as vs:
+        index = vf.load_predictions(vcf_mod.VCFReader(vs))
+    assert len(index) == 5
+    assert set(index.trees.keys()) == {'1', '9', '14'}
+    assert index.query('chr1', 1, 1000000) == set()
+    assert index.query('1', 1, 1000000) == set()
