@@ -70,7 +70,10 @@ def run_mark1(config, logstream=None):
 
     # -- step 0: reference mask (1-bit) + reference counts (4-bit) --------
     refrfile = config['reference']['fasta']
-    kevlar_tpu.plog('[workflow] creating reference mask')
+    def _stage(msg):
+        kevlar_tpu.plog('[workflow] ({:.1f}s) {}'.format(
+            timer.probe(), msg))
+    _stage('creating reference mask')
     maskmem = _mem(config.get('mask', {}).get('memory'), 4e6)
     maskfiles = [refrfile]
     contam = config.get('contaminants') or {}
@@ -82,7 +85,7 @@ def run_mark1(config, logstream=None):
         count=False)
     mask.save(path('mask.nt'))
 
-    kevlar_tpu.plog('[workflow] counting reference genome k-mers')
+    _stage('counting reference genome k-mers')
     refr_counts = count_mod.load_sample_seqfile(
         [refrfile], ksize, maskmem, maxfpr=1.0, count=True, smallcount=True,
         outfile=path('refr.sct'))
@@ -90,21 +93,21 @@ def run_mark1(config, logstream=None):
     # -- step 1: per-sample masked counting -------------------------------
     case_cfg = config['case']
     ctrl_cfgs = config.get('controls', [])
-    kevlar_tpu.plog('[workflow] counting case sample')
+    _stage('counting case sample')
     case_counts = count_mod.load_sample_seqfile(
         case_cfg['fastx'], ksize, _mem(case_cfg.get('memory'), 1e6),
         maxfpr=case_cfg.get('max_fpr', 0.6), mask=mask,
         outfile=path('case.ct'))
     ctrl_counts = []
     for i, ctrl in enumerate(ctrl_cfgs):
-        kevlar_tpu.plog('[workflow] counting control sample', i)
+        _stage('counting control sample {}'.format(i))
         ctrl_counts.append(count_mod.load_sample_seqfile(
             ctrl['fastx'], ksize, _mem(ctrl.get('memory'), 1e6),
             maxfpr=ctrl.get('max_fpr', 0.05), mask=mask,
             outfile=path('control{}.ct'.format(i))))
 
     # -- step 2: novel k-mer screen ---------------------------------------
-    kevlar_tpu.plog('[workflow] novel k-mer screen')
+    _stage('novel k-mer screen')
     novel_cfg = config.get('novel', {})
     casemin = novel_cfg.get('case_min', 6)
     ctrlmax = novel_cfg.get('ctrl_max', 1)
@@ -117,7 +120,7 @@ def run_mark1(config, logstream=None):
             kevlar_tpu.print_augmented_fastx(record, fh)
 
     # -- step 3: filter (recount against the reference mask) --------------
-    kevlar_tpu.plog('[workflow] filtering novel reads')
+    _stage('filtering novel reads')
     filteredfile = path('filtered.augfastq.gz')
     with kevlar_tpu.open(filteredfile, 'w') as fh:
         for record in filter_mod.filter(novelfile, mask=mask,
@@ -125,7 +128,7 @@ def run_mark1(config, logstream=None):
             kevlar_tpu.print_augmented_fastx(record, fh)
 
     # -- step 4: partition -------------------------------------------------
-    kevlar_tpu.plog('[workflow] partitioning reads')
+    _stage('partitioning reads')
     reader = kevlar_tpu.parse_augmented_fastx(
         kevlar_tpu.open(filteredfile, 'r'))
     partfile = path('partitioned.augfastq.gz')
@@ -136,7 +139,7 @@ def run_mark1(config, logstream=None):
                 kevlar_tpu.print_augmented_fastx(read, fh)
 
     # -- step 5: assemble + localize + call (fused) ------------------------
-    kevlar_tpu.plog('[workflow] assemble/localize/align/call')
+    _stage('assemble/localize/align/call')
     loc = config.get('localize', {})
     reader = kevlar_tpu.parse_augmented_fastx(kevlar_tpu.open(partfile, 'r'))
     pstream = seqio.parse_partitioned_reads(reader)
@@ -155,7 +158,7 @@ def run_mark1(config, logstream=None):
     # -- step 6: optional varfilter ----------------------------------------
     vcf_for_scoring = prelimfile
     if config.get('varfilter'):
-        kevlar_tpu.plog('[workflow] applying user region filter')
+        _stage('applying user region filter')
         filtvcf = path('calls.filtered.vcf')
         reader = vcf_mod.vcfstream([prelimfile])
         beds = kevlar_tpu.parse_bed(
@@ -168,7 +171,7 @@ def run_mark1(config, logstream=None):
         vcf_for_scoring = filtvcf
 
     # -- step 7: likelihood scoring ----------------------------------------
-    kevlar_tpu.plog('[workflow] scoring calls (simlike)')
+    _stage('scoring calls (simlike)')
     sim = config.get('simlike', {})
     labels = [case_cfg.get('label', 'Case')] + \
         [c.get('label', 'Control{}'.format(i))
