@@ -189,16 +189,24 @@ def count_and_screen_stack_packed(case_packed, case_bad, ctrl_packed,
     """
     from kevlar_tpu.ops import hashing as _h
 
-    def consume_stack(packed_stack, bad_stack):
-        tables = jnp.zeros((ntables, tablesize), jnp.uint8)
+    accumulate = sketch_ops._use_accumulator()
 
-        def body(tbl, inp):
+    def consume_stack(packed_stack, bad_stack):
+        def body(carry, inp):
             packed, badmask = inp
             bases = _h.unpack_bases(packed, badmask, L)
             h1, h2, valid = _h.kmer_hashes(bases, ksize)
-            return sketch_ops._consume_hashes(tbl, h1, h2, valid,
-                                              maxcount), None
+            if accumulate:
+                return sketch_ops._scatter_hashes_i32(
+                    carry, h1, h2, valid, tablesize), None
+            return sketch_ops._consume_hashes(
+                carry, h1, h2, valid, maxcount), None
 
+        if accumulate:
+            acc = jnp.zeros((ntables, tablesize), jnp.int32)
+            acc, _ = jax.lax.scan(body, acc, (packed_stack, bad_stack))
+            return sketch_ops._pack_tables_i32(acc, maxcount, 8)
+        tables = jnp.zeros((ntables, tablesize), jnp.uint8)
         tables, _ = jax.lax.scan(body, tables, (packed_stack, bad_stack))
         return tables
 
