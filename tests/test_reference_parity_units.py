@@ -1,0 +1,248 @@
+"""Unit-level behavior parity with the reference's pinned expectations.
+
+Mirrors the exact assertions of the reference's test_readpair.py (overlap /
+offset / orientation matrix, incompatibility rules, merged sequences) and
+test_cigar.py (block invariants and `_endcheck` CIGAR canonicalisation on
+the reference's own cigar/* data files).  Expected values are the
+reference suite's published assertions (cited per test); no reference code
+is used.
+
+Skipped automatically when the reference data mount is absent (the
+readpair tests are self-contained and always run).
+"""
+
+import os
+
+import pytest
+
+import kevlar_tpu
+from kevlar_tpu import same_seq
+from kevlar_tpu.cigar import AlignmentTokenizer
+from kevlar_tpu.ops.align import align
+from kevlar_tpu.readpair import ReadPair
+from kevlar_tpu.sequence import KmerOfInterest, Record
+
+DATA = '/root/reference/kevlar/tests/data/'
+
+needsdata = pytest.mark.skipif(
+    not os.path.isdir(DATA), reason='reference test data not mounted')
+
+
+def data_file(name):
+    return os.path.join(DATA, name)
+
+
+# ----------------------------------------------------------------------
+# ReadPair orientation matrix (reference test_readpair.py:177-273)
+# ----------------------------------------------------------------------
+
+def record1():
+    return Record(name='read1', sequence='GCTGCACCGATGTACGCAAA',
+                  annotations=[KmerOfInterest(5, 14, [15, 0, 0])])
+
+
+def record2():
+    return Record(name='read2', sequence='ACGCAAAGCTATTTAAAACC',
+                  annotations=[KmerOfInterest(5, 1, [15, 0, 0]),
+                               KmerOfInterest(5, 14, [19, 1, 0])])
+
+
+def record3():
+    # reverse complement of record2
+    return Record(name='read3', sequence='GGTTTTAAATAGCTTTGCGT',
+                  annotations=[KmerOfInterest(5, 1, [19, 1, 0]),
+                               KmerOfInterest(5, 14, [15, 0, 0])])
+
+
+@pytest.mark.parametrize('read1,read2,sameorientation', [
+    (record1(), record2(), True),
+    (record2(), record1(), True),
+    (record1(), record3(), False),
+    (record3(), record1(), False),
+])
+def test_readpair_basic_matrix(read1, read2, sameorientation):
+    """Same answer regardless of read order or orientation
+    (reference test_readpair.py:177-207)."""
+    pair = ReadPair(read1, read2, 'CGCAA')
+    assert pair.overlap == 7
+    assert pair.offset == 13
+    assert pair.sameorient is sameorientation
+    str_reprs = [
+        ('GCTGCACCGATGTACGCAAA\n'
+         '              |||||\n'
+         '             ACGCAAAGCTATTTAAAACC'),
+        ('GGTTTTAAATAGCTTTGCGT\n'
+         '              |||||\n'
+         '             TTTGCGTACATCGGTGCAGC'),
+    ]
+    assert str(pair) in str_reprs
+
+
+def test_readpair_kmer_multi_copy():
+    """K-mer occurring twice in one read -> incompatible
+    (reference test_readpair.py:210-221)."""
+    r2a = Record(name='read2', sequence='ACGCAAAGCTATTTACGCAA',
+                 annotations=[KmerOfInterest(5, 1, [15, 0, 0]),
+                              KmerOfInterest(5, 15, [15, 0, 0])])
+    pair = ReadPair(record1(), r2a, 'CGCAA')
+    assert pair.incompatible
+
+
+def test_readpair_mismatch():
+    """Single mismatch in the overlap -> incompatible
+    (reference test_readpair.py:224-237)."""
+    r4 = Record(name='read4', sequence='ACGCAATGCTATTTAAAACC',
+                annotations=[KmerOfInterest(5, 1, [15, 0, 0]),
+                             KmerOfInterest(5, 14, [19, 1, 0])])
+    pair = ReadPair(record1(), r4, 'CGCAA')
+    assert pair.incompatible
+
+
+def test_readpair_big_mismatch():
+    """Extensive differences beyond the seed -> incompatible, for either
+    shared k-mer (reference test_readpair.py:240-253)."""
+    r5 = Record(name='read5',
+                sequence='CTCTTCCGGCAGTCACTGTCAAGAGAGGGTGAACT',
+                annotations=[KmerOfInterest(7, 15, [12, 0, 0]),
+                             KmerOfInterest(7, 16, [13, 0, 0])])
+    r6 = Record(name='read6',
+                sequence='TCACTGTCAAGAGAGGCCTACGGATTCGGTTACTG',
+                annotations=[KmerOfInterest(7, 3, [12, 0, 0]),
+                             KmerOfInterest(7, 4, [13, 0, 0])])
+    for ikmer in ['CTGTCAA', 'TGTCAAG']:
+        pair = ReadPair(r5, r6, ikmer)
+        assert pair.incompatible
+
+
+def _picorecord1():
+    return Record(
+        name='seq1_901350_901788_1:0:0_0:0:0_21ca1/2',
+        sequence=('GTTTTTTTTTTGTTTCCCAAAGTAAGGCTGAGTGAACAATATTTTCTCATAGTT'
+                  'TTGACAAAAACAAAGGAATCCTTAGTTATTAAACTCGGGAGTTTGA'),
+        annotations=[KmerOfInterest(25, 5, [19, 0, 0]),
+                     KmerOfInterest(25, 6, [18, 1, 0]),
+                     KmerOfInterest(25, 7, [18, 1, 0]),
+                     KmerOfInterest(25, 8, [18, 0, 0]),
+                     KmerOfInterest(25, 9, [17, 0, 0])])
+
+
+def _picorecord3():
+    return Record(
+        name='seq1_901428_901847_3:0:0_0:0:0_87d/1',
+        sequence=('TATTGTTCACTCAGCCTTACTTTGGGAAACAAAAAAAAAACTAAGCTTTTGGAT'
+                  'TACAGTTGGAAGTGAGGTCTCAGCCTGCACAAACGAATAAATGTAA'),
+        annotations=[KmerOfInterest(25, 11, [17, 0, 0]),
+                     KmerOfInterest(25, 10, [18, 0, 0]),
+                     KmerOfInterest(25, 9, [18, 1, 0]),
+                     KmerOfInterest(25, 8, [18, 1, 0]),
+                     KmerOfInterest(25, 7, [19, 0, 0])])
+
+
+def test_readpair_pico():
+    """Head assignment + merged-sequence strand invariance on the pico
+    reads (reference test_readpair.py:256-267)."""
+    pico2 = Record(
+        name='seq1_901428_901847_3:0:0_0:0:0_87d/1',
+        sequence=('TTACATTTATTCGTTTGTGCAGGCTGAGACCTCACTTCCAACTGTAATCCAAAA'
+                  'GCTTAGTTTTTTTTTTGTTTCCCAAAGTAAGGCTGAGTGAACAATA'),
+        annotations=[KmerOfInterest(25, 64, [19, 0, 0]),
+                     KmerOfInterest(25, 65, [18, 1, 0]),
+                     KmerOfInterest(25, 66, [18, 1, 0]),
+                     KmerOfInterest(25, 67, [18, 0, 0]),
+                     KmerOfInterest(25, 68, [17, 0, 0])])
+    kmer = 'TTTTTTGTTTCCCAAAGTAAGGCTG'
+    pair1 = ReadPair(_picorecord1(), pico2, kmer)
+    assert pair1.offset == 59
+    assert pair1.head.read.name == 'seq1_901428_901847_3:0:0_0:0:0_87d/1'
+
+    pair2 = ReadPair(_picorecord1(), _picorecord3(), kmer)
+    assert pair2.offset == 59
+    assert pair2.head.read.name == 'seq1_901428_901847_3:0:0_0:0:0_87d/1'
+
+    assert same_seq(pair1.mergedseq, pair2.mergedseq)
+
+
+def test_readpair_pico_contains():
+    """Containment merge returns the containing read's sequence
+    (reference test_readpair.py:270-273)."""
+    pico4 = Record(
+        name='seqname',
+        sequence=('TGTTCACTCAGCCTTACTTTGGGAAACAAAAAAAAAACTAAGCTTTTGGATTAC'
+                  'AGTTGGAAGTGAGGTCTCAGCCTGCACAAACGAATAAATG'),
+        annotations=[KmerOfInterest(25, 8, [17, 0, 0]),
+                     KmerOfInterest(25, 7, [18, 0, 0]),
+                     KmerOfInterest(25, 6, [18, 1, 0]),
+                     KmerOfInterest(25, 5, [18, 1, 0]),
+                     KmerOfInterest(25, 4, [19, 0, 0])])
+    pico3 = _picorecord3()
+    pair = ReadPair(pico3, pico4, 'CACTCAGCCTTACTTTGGGAAACAA')
+    assert same_seq(pair.mergedseq, pico3.sequence)
+
+
+# ----------------------------------------------------------------------
+# AlignmentTokenizer on the reference's cigar/* data
+# (reference test_cigar.py:17-65)
+# ----------------------------------------------------------------------
+
+def _load_pair(contig, gdna):
+    query = next(kevlar_tpu.parse_augmented_fastx(
+        kevlar_tpu.open(data_file(contig), 'r')))
+    target = next(kevlar_tpu.parse_augmented_fastx(
+        kevlar_tpu.open(data_file(gdna), 'r')))
+    return query, target
+
+
+@needsdata
+@pytest.mark.parametrize('contig,gdna', [
+    ('cigar/a.contig.fa', 'cigar/a.gdna.fa'),
+    ('cigar/b.contig.fa', 'cigar/b.gdna.fa'),
+    ('cigar/c.contig.fa', 'cigar/c.gdna.fa'),
+    ('cigar/d.contig.fa', 'cigar/d.gdna.fa'),
+    ('phony-snv-01.contig.fa', 'phony-snv-01.gdna.fa'),
+    ('phony-snv-02.contig.fa', 'phony-snv-02.gdna.fa'),
+])
+def test_cigar_block_invariants(contig, gdna):
+    """Every block carries the right substring lengths
+    (reference test_cigar.py:17-39)."""
+    query, target = _load_pair(contig, gdna)
+    cigar, score = align(target.sequence, query.sequence)
+    tok = AlignmentTokenizer(query.sequence, target.sequence, cigar)
+    for block in tok.blocks:
+        assert block.type in ('M', 'D', 'I')
+        if block.type in ('M', 'D'):
+            assert len(block.target) == block.length
+        else:
+            assert block.target is None
+        if block.type in ('M', 'I'):
+            assert len(block.query) == block.length
+        else:
+            assert block.query is None
+
+
+@needsdata
+def test_cigar_nomargin():
+    """No-margin alignments are left untouched by _endcheck
+    (reference test_cigar.py:42-49)."""
+    query, target = _load_pair('nomargin-r-indel-contigs.augfasta',
+                               'nomargin-r-gdna.fa')
+    cigar, score = align(target.sequence, query.sequence)
+    tok = AlignmentTokenizer(query.sequence, target.sequence, cigar)
+    assert tok._cigar == tok._origcigar
+
+
+@needsdata
+@pytest.mark.parametrize('contig,gdna,newcigar,origcigar,nblocks', [
+    ('b.contig.fa', 'b.gdna.fa', '41D150M50D', '41D144M50D6M', 3),
+    ('d.contig.fa', 'd.gdna.fa', '39D129M4D43M6D', '39D129M4D29M6D14M', 5),
+])
+def test_cigar_gap_center_aligned(contig, gdna, newcigar, origcigar,
+                                  nblocks):
+    """_endcheck merges the spurious trailing M across a terminal indel,
+    producing the exact canonical CIGARs the reference pins
+    (reference test_cigar.py:52-65)."""
+    query, target = _load_pair('cigar/' + contig, 'cigar/' + gdna)
+    cigar, score = align(target.sequence, query.sequence)
+    tok = AlignmentTokenizer(query.sequence, target.sequence, cigar)
+    assert len(tok.blocks) == nblocks
+    assert tok._cigar == newcigar
+    assert tok._origcigar == origcigar
