@@ -48,11 +48,34 @@ def _fold_codes(codes):
 
 
 class SeedIndex:
-    """Sorted-key index of every canonical seed in a reference genome."""
+    """Sorted-key index of every canonical seed in a reference genome.
 
-    def __init__(self, refrseqs, seedsize):
+    ``backend`` selects where the binary search runs:
+
+    - ``'host'`` (default): numpy ``searchsorted`` — right for references
+      that fit comfortably in host RAM.
+    - ``'device'``: the sorted keys live in HBM as uint32 hi/lo planes and
+      the whole seed batch is searched in one jit dispatch
+      (:func:`kevlar_tpu.ops.seed_ops.seed_ranges`).
+    - ``'sharded'``: keys sharded over the 'shard' axis of the device mesh
+      with pmin/psum combine — for references beyond one chip's HBM.
+
+    The env var ``KEVLAR_SEED_BACKEND`` overrides the default.  Exact
+    sequence verification always runs on the host, so every backend returns
+    identical matches.
+    """
+
+    def __init__(self, refrseqs, seedsize, backend=None):
+        import os
         self.seedsize = seedsize
         self.refrseqs = refrseqs
+        self.backend = (backend or
+                        os.environ.get('KEVLAR_SEED_BACKEND', 'host'))
+        if self.backend not in ('host', 'device', 'sharded'):
+            raise ValueError(
+                'unknown seed backend {!r}; expected host, device, or '
+                'sharded'.format(self.backend))
+        self._device_index = None
         self._seqids = sorted(refrseqs)
         keys_all, seqidx_all, pos_all = [], [], []
         for si, seqid in enumerate(self._seqids):
@@ -76,6 +99,42 @@ class SeedIndex:
             self._seqidx = np.zeros(0, dtype=np.int32)
             self._pos = np.zeros(0, dtype=np.int64)
 
+    def _search_device(self, qkeys):
+        """(start, count) per query key via the device binary search."""
+        import jax.numpy as jnp
+        from kevlar_tpu.ops import seed_ops
+
+        # pad the query batch to a power of two to bound recompiles
+        nq = len(qkeys)
+        cap = 1
+        while cap < nq:
+            cap *= 2
+        qpad = np.full(cap, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+        qpad[:nq] = qkeys
+        qhi, qlo = seed_ops.split_words(qpad)
+        if self.backend == 'sharded':
+            if self._device_index is None:
+                from kevlar_tpu.parallel import mesh as meshmod
+                mesh = meshmod.make_mesh()
+                n_shard = mesh.shape['shard']
+                planes = seed_ops.shard_keys(self._keys, n_shard)
+                self._device_index = (mesh,) + tuple(
+                    jnp.asarray(p) for p in planes)
+            mesh, khi, klo, n_valid, base = self._device_index
+            start, count = seed_ops.seed_ranges_sharded(
+                mesh, khi, klo, jnp.asarray(qhi), jnp.asarray(qlo),
+                n_valid, base)
+        else:
+            if self._device_index is None:
+                khi, klo = seed_ops.split_words(self._keys)
+                self._device_index = (jnp.asarray(khi), jnp.asarray(klo))
+            khi, klo = self._device_index
+            start, count = seed_ops.seed_ranges(
+                khi, klo, jnp.asarray(qhi), jnp.asarray(qlo))
+        start = np.asarray(start)[:nq]
+        count = np.asarray(count)[:nq]
+        return start, start + count
+
     def lookup(self, seeds):
         """Match canonical seed strings; returns {seed: set((seqid, pos))}.
 
@@ -89,8 +148,11 @@ class SeedIndex:
         qbases, _ = dna.encode_batch(seedlist)
         qcodes, qvalid = dna.seed_codes(qbases, self.seedsize)
         qkeys = _fold_codes(qcodes[:, 0, :])
-        lo = np.searchsorted(self._keys, qkeys, side='left')
-        hi = np.searchsorted(self._keys, qkeys, side='right')
+        if self.backend in ('device', 'sharded'):
+            lo, hi = self._search_device(qkeys)
+        else:
+            lo = np.searchsorted(self._keys, qkeys, side='left')
+            hi = np.searchsorted(self._keys, qkeys, side='right')
         for i, seed in enumerate(seedlist):
             if not qvalid[i, 0]:
                 continue

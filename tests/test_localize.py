@@ -91,3 +91,40 @@ def test_cutout_defline_roundtrip():
     assert cut.interval == ('chr7', 1000, 1500)
     assert cut.local_to_global(42) == 1042
     assert len(cut) == 500
+
+
+def test_seed_index_device_backends_match_host(genome):
+    """The device and mesh-sharded binary searches return exactly the host
+    backend's matches (exact verification is shared, so this pins the
+    search itself)."""
+    # two chromosomes, a duplicated segment, and revcom + absent queries
+    dup = genome[:3000] + genome[500:560] + genome[3000:]
+    refrseqs = {'chr1': dup, 'chr2': kevlar_tpu.dna.revcom(genome[:4000])}
+    seeds = set()
+    rng = random.Random(99)
+    for _ in range(40):
+        pos = rng.randrange(0, len(dup) - 51)
+        seeds.add(kevlar_tpu.revcommin(dup[pos:pos + 51]))
+    for _ in range(10):
+        pos = rng.randrange(0, 4000 - 51)
+        seeds.add(kevlar_tpu.revcommin(
+            kevlar_tpu.dna.revcom(genome[:4000])[pos:pos + 51]))
+    seeds.add(kevlar_tpu.revcommin('TGCA' * 13)[:51])  # absent
+    seeds.add(kevlar_tpu.revcommin(dup[505:556]))      # multicopy
+
+    expected = SeedIndex(refrseqs, 51, backend='host').lookup(seeds)
+    for backend in ('device', 'sharded'):
+        got = SeedIndex(refrseqs, 51, backend=backend).lookup(seeds)
+        assert got == expected, backend
+    assert any(len(v) == 2 for v in expected.values())
+
+
+def test_seed_index_backend_env_override(genome, monkeypatch):
+    monkeypatch.setenv('KEVLAR_SEED_BACKEND', 'device')
+    index = SeedIndex({'chr1': genome}, seedsize=51)
+    assert index.backend == 'device'
+    seed = kevlar_tpu.revcommin(genome[1000:1051])
+    assert index.lookup({seed})[seed] == {('chr1', 1000)}
+    monkeypatch.setenv('KEVLAR_SEED_BACKEND', 'bogus')
+    with pytest.raises(ValueError):
+        SeedIndex({'chr1': genome}, seedsize=51)
