@@ -246,3 +246,171 @@ def test_cigar_gap_center_aligned(contig, gdna, newcigar, origcigar,
     assert len(tok.blocks) == nblocks
     assert tok._cigar == newcigar
     assert tok._origcigar == origcigar
+
+
+# ----------------------------------------------------------------------
+# Localizer clustering / cutouts / maxdiff / CLI filters
+# (reference test_localize.py)
+# ----------------------------------------------------------------------
+
+from kevlar_tpu.localize import (  # noqa: E402
+    KevlarRefrSeqNotFoundError, Localizer, decompose_seeds, localize,
+    unique_seeds)
+from kevlar_tpu import seqio  # noqa: E402
+
+
+def test_localizer_simple():
+    """Seed clustering intervals (reference test_localize.py:22-39)."""
+    intervals = Localizer(seedsize=25)
+    assert list(intervals.get_cutouts()) == []
+    for seqid, pos in [('chr1', 100), ('chr1', 115), ('chr2', 200),
+                       ('chr2', 205), ('chr2', 207), ('chr2', 235008),
+                       ('chr2', 235075)]:
+        intervals.add_seed_match(seqid, pos)
+    testint = [c.interval for c in intervals.get_cutouts()]
+    assert testint == [('chr1', 100, 140), ('chr2', 200, 232),
+                       ('chr2', 235008, 235100)]
+
+
+def test_localizer_incl_excl():
+    """Include/exclude regex filtering (reference test_localize.py:42-75)."""
+    intervals = Localizer(seedsize=25)
+    for seqid, pos in [('1', 100), ('1', 120), ('12', 200), ('12', 209),
+                       ('12', 213), ('X', 1234), ('X', 1245),
+                       ('Un', 13579), ('Un', 13597)]:
+        intervals.add_seed_match(seqid, pos)
+    testint = [c.interval for c in intervals.get_cutouts()]
+    assert sorted(testint) == [('1', 100, 145), ('12', 200, 238),
+                               ('Un', 13579, 13622), ('X', 1234, 1270)]
+    intervals.exclpattern = 'Un'
+    testint = [c.interval for c in intervals.get_cutouts()]
+    assert sorted(testint) == [('1', 100, 145), ('12', 200, 238),
+                               ('X', 1234, 1270)]
+    intervals.inclpattern = r'^\d+$'
+    testint = [c.interval for c in intervals.get_cutouts()]
+    assert sorted(testint) == [('1', 100, 145), ('12', 200, 238)]
+
+
+@needsdata
+def test_get_cutouts_pinned():
+    """Exact cutout deflines + sequences on the reference's genomes
+    (reference test_localize.py:78-132)."""
+    intervals = Localizer(seedsize=10)
+    intervals.add_seed_match('bogus-genome-chr2', 10)
+    seqs = seqio.parse_seq_dict(open(data_file('bogus-genome/refr.fa')))
+    cutouts = list(intervals.get_cutouts(refrseqs=seqs))
+    assert len(cutouts) == 1
+    assert cutouts[0].defline == 'bogus-genome-chr2_10-20'
+    assert cutouts[0].sequence == 'GTTACATTAC'
+
+    seqs = seqio.parse_seq_dict(open(data_file('simple-genome-ctrl1.fa')))
+    intervals = Localizer(seedsize=21)
+    for pos in (49, 52, 59):
+        intervals.add_seed_match('simple', pos)
+    cutouts = list(intervals.get_cutouts(refrseqs=seqs, delta=5))
+    assert [c.defline for c in cutouts] == ['simple_44-85']
+    assert cutouts[0].sequence == ('AATACTATGCCGATTTATTCTTACACAATTAAATT'
+                                   'GCTAGT')
+
+    intervals = Localizer(seedsize=21)
+    for pos in (40, 80, 120, 500):
+        intervals.add_seed_match('simple', pos)
+    cutouts = list(intervals.get_cutouts(refrseqs=seqs, clusterdist=None,
+                                         delta=10))
+    assert [c.defline for c in cutouts] == ['simple_30-531']
+    assert len(cutouts[0].sequence) == 501
+
+    intervals = Localizer(seedsize=21)
+    intervals.add_seed_match('simple', 100)
+    intervals.add_seed_match('simple', 200)
+    cutouts = intervals.get_cutouts(refrseqs=seqs, clusterdist=50, delta=25)
+    assert [c.defline for c in cutouts] == ['simple_75-146',
+                                            'simple_175-246']
+    cutouts = intervals.get_cutouts(refrseqs=seqs, clusterdist=100,
+                                    delta=50)
+    assert [c.defline for c in cutouts] == ['simple_50-271']
+
+
+@needsdata
+def test_get_cutouts_missing_seq_and_boundaries():
+    """Unknown seqid error + clamping at sequence boundaries
+    (reference test_localize.py:135-164)."""
+    seqs = seqio.parse_seq_dict(open(data_file('simple-genome-ctrl1.fa')))
+    intervals = Localizer(seedsize=21)
+    intervals.add_seed_match('simple', 100)
+    intervals.add_seed_match('TheCakeIsALie', 42)
+    with pytest.raises(KevlarRefrSeqNotFoundError, match=r'TheCakeIsALie'):
+        list(intervals.get_cutouts(refrseqs=seqs))
+
+    intervals = Localizer(seedsize=31)
+    intervals.add_seed_match('simple', 15)
+    cutouts = list(intervals.get_cutouts(refrseqs=seqs, delta=20))
+    assert [c.defline for c in cutouts] == ['simple_0-66']
+
+    intervals = Localizer(seedsize=31)
+    for pos in (925, 955, 978):
+        intervals.add_seed_match('simple', pos)
+    cutouts = list(intervals.get_cutouts(refrseqs=seqs, delta=20))
+    assert [c.defline for c in cutouts] == ['simple_905-1000']
+
+
+@needsdata
+@pytest.mark.parametrize('X,numtargets', [
+    (100000, 1), (10000, 5), (1000, 33), (0, 1), (None, 33),
+])
+def test_localize_maxdiff(X, numtargets):
+    """Cluster-split distance scaling (reference test_localize.py:167-185);
+    maxdiff=0 falls back to 3x the longest contig, like the reference."""
+    contigstream = seqio.parse_partitioned_reads(
+        kevlar_tpu.parse_augmented_fastx(
+            kevlar_tpu.open(data_file('maxdiff-contig.augfasta'), 'r')))
+    targeter = localize(contigstream, data_file('maxdiff-refr.fa.gz'),
+                        seedsize=51, delta=50, maxdiff=X)
+    targets = [cutout for partid, cutout in targeter]
+    assert len(targets) == numtargets
+
+
+@needsdata
+@pytest.mark.parametrize('incl,excl,output', [
+    (None, None, '>seq1_10-191'),
+    (r'seq1', None, '>seq1_10-191'),
+    (None, 'seq1', 'WARNING: no reference matches'),
+    (r'chr[XY]', None, 'WARNING: no reference matches'),
+    (None, r'b0Gu$', '>seq1_10-191'),
+])
+def test_localize_main_filters(incl, excl, output, capsys):
+    """CLI include/exclude matrix (reference test_localize.py:188-205)."""
+    import kevlar_tpu.cli
+    arglist = ['localize', '--seed-size', '23', '--delta', '50',
+               data_file('localize-refr.fa'), data_file('localize-contig.fa')]
+    args = kevlar_tpu.cli.parser().parse_args(arglist)
+    args.include = incl
+    args.exclude = excl
+    kevlar_tpu.localize.main(args)
+    out, err = capsys.readouterr()
+    assert output in out or output in err
+
+
+@needsdata
+def test_localize_main_no_matches(capsys):
+    """No seed matches -> warning (reference test_localize.py:208-215)."""
+    import kevlar_tpu.cli
+    arglist = ['localize', '--seed-size', '23',
+               data_file('localize-refr.fa'),
+               data_file('localize-contig-bad.fa')]
+    args = kevlar_tpu.cli.parser().parse_args(arglist)
+    kevlar_tpu.localize.main(args)
+    out, err = capsys.readouterr()
+    assert 'WARNING: no reference matches' in err
+
+
+def test_decompose_and_unique_seeds():
+    """Seed decomposition and the canonical seed set
+    (reference test_localize.py:218-229)."""
+    assert list(decompose_seeds('GATTACA', 5)) == ['GATTA', 'ATTAC',
+                                                   'TTACA']
+    assert list(decompose_seeds('GATTACA', 3)) == ['GAT', 'ATT', 'TTA',
+                                                   'TAC', 'ACA']
+    parts = [[Record(name='seq', sequence='GATTACA')]]
+    assert sorted(unique_seeds(parts, seedsize=5)) == ['ATTAC', 'GATTA',
+                                                       'TGTAA']
