@@ -414,3 +414,106 @@ def test_decompose_and_unique_seeds():
     parts = [[Record(name='seq', sequence='GATTACA')]]
     assert sorted(unique_seeds(parts, seedsize=5)) == ['ATTAC', 'GATTA',
                                                        'TGTAA']
+
+
+# ----------------------------------------------------------------------
+# Variant / FormattedList / filter-string semantics
+# (reference test_vcf.py:28-135)
+# ----------------------------------------------------------------------
+
+from kevlar_tpu import vcf as vcf_mod  # noqa: E402
+from kevlar_tpu.vcf import (  # noqa: E402
+    FormattedList, Variant, VariantFilter as vf)
+
+
+def test_vcf_snv_obj():
+    """0-based internal coords, +1 on VCF write
+    (reference test_vcf.py:28-37)."""
+    snv = Variant('scaffold42', 10773, 'A', 'G')
+    assert str(snv) == 'scaffold42:10773:A->G'
+    vcfvalues = ['scaffold42', '10774', '.', 'A', 'G', '.', 'PASS', '.']
+    assert snv.vcf == '\t'.join(vcfvalues)
+    assert snv.cigar is None
+    snv2 = Variant('chr5', 500, 'T', 'G', CIGAR='10D200M10D')
+    assert snv2.cigar == '10D200M10D'
+    assert snv2.window is None
+
+
+def test_vcf_indel_obj():
+    """Indel string forms (reference test_vcf.py:40-58)."""
+    indel1 = Variant('chr3', 8998622, 'GATTACA', 'G')
+    assert str(indel1) == 'chr3:8998623:6D'
+    assert indel1.vcf == '\t'.join(
+        ['chr3', '8998623', '.', 'GATTACA', 'G', '.', 'PASS', '.'])
+    indel2 = Variant('chr6', 75522411, 'G', 'GATTACA')
+    assert str(indel2) == 'chr6:75522412:I->ATTACA'
+    assert indel2.vcf == '\t'.join(
+        ['chr6', '75522412', '.', 'G', 'GATTACA', '.', 'PASS', '.'])
+
+
+def test_vcf_filter_field():
+    """Filter accumulation and string form; non-VariantFilter values are
+    ignored (reference test_vcf.py:61-82)."""
+    v = Variant('scaffold1', 12345, '.', '.')
+    assert v.filterstr == '.'
+    v.filter(vf.InscrutableCigar)
+    assert v.filterstr == 'InscrutableCigar'
+
+    v = Variant('1', 809768, 'C', 'CAT')
+    assert v.filterstr == 'PASS'
+    v.filter(vf.PassengerVariant)
+    assert v.filterstr == 'PassengerVariant'
+    v.filter(vf.Homopolymer)
+    assert v.filterstr == 'Homopolymer;PassengerVariant'
+
+    v = Variant('one', 112358, 'T', 'A')
+    v.filter('SNPyMcSNPface')
+    v.filter(6.022e23)
+    v.filter(dict(chicken='waffles'))
+    assert v.filterstr == 'PASS'
+
+
+def test_vcf_info_annotate_attribute():
+    """FormattedList string forms + annotate/attribute mechanics
+    (reference test_vcf.py:85-135)."""
+    values = FormattedList()
+    assert str(values) == '.'
+    values.append(42)
+    assert str(values) == '42'
+    values.append(1776)
+    assert str(values) == '42,1776'
+    values.append('B0gU$')
+    with pytest.raises(vcf_mod.KevlarMixedDataTypeError):
+        str(values)
+
+    v = Variant('1', 12345, 'G', 'C')
+    assert v.attribute('VW') is None
+    v.annotate('VW', 'AGTNNNNNNNNNNNNNNNNNNNNNTGA')
+    assert v.attribute('VW') == 'AGTNNNNNNNNNNNNNNNNNNNNNTGA'
+    v.annotate('VW', 'GATTACA')
+    assert v.attribute('VW') == 'GATTACA'
+    assert v.attribute('VW', pair=True) == 'VW=GATTACA'
+    v.annotate('VW', 'ATGCCCTAG', replace=False)
+    assert v.attribute('VW') == ['GATTACA', 'ATGCCCTAG']
+    assert v.attribute('VW', string=True) == 'GATTACA,ATGCCCTAG'
+    assert v.attribute('VW', pair=True) == 'VW=GATTACA,ATGCCCTAG'
+    v.annotate('DROPPED', 3)
+    assert v.attribute('DROPPED') == 3
+    assert v.attribute('DROPPED', string=True) == '3'
+    v.annotate('DROPPED', 31, replace=False)
+    assert v.attribute('DROPPED') == [3, 31]
+    assert v.attribute('DROPPED', pair=True) == 'DROPPED=3,31'
+    v.annotate('MATEDIST', 432.1234, replace=False)
+    v.annotate('MATEDIST', 8765.4321, replace=False)
+    assert v.attribute('MATEDIST', string=True) == '432.123,8765.432'
+    v.annotate('LLIH', -436.0111857750478)
+    assert v.attribute('LLIH', pair=True) == 'LLIH=-436.011'
+
+
+def test_vcf_format_field():
+    """Per-sample FORMAT get/set (reference test_vcf.py:138-143)."""
+    v = Variant('1', 12345, 'G', 'C')
+    v.format('NA19238', 'GT', '0/0')
+    assert v.format('NA19238', 'GT') == '0/0'
+    assert v.format('NA19238', 'XYZ') is None
+    assert v.format('NA19239', 'GT') is None
