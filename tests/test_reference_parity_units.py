@@ -517,3 +517,81 @@ def test_vcf_format_field():
     assert v.format('NA19238', 'GT') == '0/0'
     assert v.format('NA19238', 'XYZ') is None
     assert v.format('NA19239', 'GT') is None
+
+
+# ----------------------------------------------------------------------
+# augment: annotation transfer onto contigs/reads
+# (reference test_augment.py)
+# ----------------------------------------------------------------------
+
+from kevlar_tpu.augment import augment  # noqa: E402
+
+
+@needsdata
+def test_augment_contigs_pinned():
+    """Exact transferred-annotation offsets
+    (reference test_augment.py:17-27)."""
+    augreads = kevlar_tpu.parse_augmented_fastx(
+        kevlar_tpu.open(data_file('snorkel.augfastq'), 'r'))
+    nakedseq = kevlar_tpu.parse_augmented_fastx(
+        kevlar_tpu.open(data_file('snorkel-contig.fasta'), 'r'))
+    augseqs = list(augment(augreads, nakedseq))
+    assert len(augseqs) == 1
+    assert len(augseqs[0].annotations) == 3
+    assert [k.offset for k in augseqs[0].annotations] == [17, 20, 22]
+
+
+@needsdata
+def test_augment_reads_golden(capsys):
+    """Byte-exact reaugmented output vs the reference's golden file
+    (reference test_augment.py:30-43)."""
+    import kevlar_tpu.cli
+    arglist = ['augment', data_file('reaugment.augfastq'),
+               data_file('reaugment.fq')]
+    args = kevlar_tpu.cli.parser().parse_args(arglist)
+    kevlar_tpu.augment.main(args)
+    out, err = capsys.readouterr()
+    assert out == open(data_file('reaugment.out')).read()
+
+
+@needsdata
+def test_augment_contig_mates():
+    """Annotation count through mate records
+    (reference test_augment.py:46-53)."""
+    augreads = kevlar_tpu.parse_augmented_fastx(
+        kevlar_tpu.open(data_file('deadbeef.augfastq.gz'), 'r'))
+    nakedseq = kevlar_tpu.parse_augmented_fastx(
+        kevlar_tpu.open(data_file('deadbeef.contig.fa'), 'r'))
+    contigs = list(augment(augreads, nakedseq))
+    assert len(contigs) == 1
+    assert len(contigs[0].annotations) == 74
+
+
+@needsdata
+def test_augment_reads_roundtrip():
+    """Re-augmenting the original reads reproduces their annotations
+    (reference test_augment.py:56-64)."""
+    augreads = list(kevlar_tpu.parse_augmented_fastx(
+        kevlar_tpu.open(data_file('deadbeef.augfastq.gz'), 'r')))
+    nakedseq = kevlar_tpu.parse_augmented_fastx(
+        kevlar_tpu.open(data_file('deadbeef.fq.gz'), 'r'))
+    newreads = list(augment(iter(augreads), nakedseq, upint=5))
+    for oldread, newread in zip(augreads, newreads):
+        assert oldread.sequence == newread.sequence
+        assert oldread.annotations == newread.annotations
+
+
+@needsdata
+def test_augment_cli_pinned(capsys):
+    """Exact augmented-FASTA text (reference test_augment.py:67-81)."""
+    import kevlar_tpu.cli
+    arglist = ['augment', data_file('snorkel.augfastq'),
+               data_file('snorkel-contig.fasta')]
+    args = kevlar_tpu.cli.parser().parse_args(arglist)
+    kevlar_tpu.augment.main(args)
+    out, err = capsys.readouterr()
+    assert out.strip() == """>contig1
+AGGTCTTCGATGCTAGCATTTTTACGACAGACAAAAACAAGATTACATTCCAAAATACATACCGCGCC
+                 ATTTTTACGAC          8 0 0#
+                    TTTACGACAGA          11 0 0#
+                      TACGACAGACA          9 0 0#"""
