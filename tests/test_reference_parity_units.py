@@ -595,3 +595,47 @@ AGGTCTTCGATGCTAGCATTTTTACGACAGACAAAAACAAGATTACATTCCAAAATACATACCGCGCC
                  ATTTTTACGAC          8 0 0#
                     TTTACGACAGA          11 0 0#
                       TACGACAGACA          9 0 0#"""
+
+
+# ----------------------------------------------------------------------
+# split: round-robin partition sharding (reference test_split.py)
+# ----------------------------------------------------------------------
+
+from io import StringIO  # noqa: E402
+
+from kevlar_tpu import split as split_mod  # noqa: E402
+
+
+@needsdata
+def test_split_round_robin():
+    """Partitions land round-robin across output streams
+    (reference test_split.py:18-31)."""
+    readstream = kevlar_tpu.parse_augmented_fastx(
+        kevlar_tpu.open(data_file('fiveparts.augfastq.gz'), 'r'))
+    partstream = seqio.parse_partitioned_reads(readstream)
+    outstreams = [StringIO(), StringIO(), StringIO()]
+    split_mod.split(partstream, outstreams)
+    assert 'kvcc=1' in outstreams[0].getvalue()
+    assert 'kvcc=2' in outstreams[1].getvalue()
+    assert 'kvcc=3' in outstreams[2].getvalue()
+    assert 'kvcc=4' in outstreams[0].getvalue()
+    assert 'kvcc=5' in outstreams[1].getvalue()
+
+
+@needsdata
+def test_split_cli_pinned(tmp_path):
+    """Exact per-shard partition sizes (reference test_split.py:33-65)."""
+    import kevlar_tpu.cli
+    arglist = ['split', data_file('fiveparts.augfastq.gz'), '3',
+               str(tmp_path / 'out')]
+    args = kevlar_tpu.cli.parser().parse_args(arglist)
+    split_mod.main(args)
+
+    expected = [[67, 12], [23, 11], [15]]
+    for i, sizes in enumerate(expected):
+        outfile = str(tmp_path / 'out.{}.augfastx.gz'.format(i))
+        readstream = kevlar_tpu.parse_augmented_fastx(
+            kevlar_tpu.open(outfile, 'r'))
+        partitions = [part for partid, part
+                      in seqio.parse_partitioned_reads(readstream)]
+        assert [len(p) for p in partitions] == sizes
