@@ -639,3 +639,54 @@ def test_split_cli_pinned(tmp_path):
         partitions = [part for partid, part
                       in seqio.parse_partitioned_reads(readstream)]
         assert [len(p) for p in partitions] == sizes
+
+
+# ----------------------------------------------------------------------
+# unband: band-output merge (reference test_unband.py)
+# ----------------------------------------------------------------------
+
+import glob as _glob  # noqa: E402
+
+from kevlar_tpu import unband as unband_mod  # noqa: E402
+
+
+def data_glob(pattern):
+    return sorted(_glob.glob(os.path.join(DATA, pattern)))
+
+
+@needsdata
+def test_unband_beta():
+    """Duplicate reads' annotation lists are unioned
+    (reference test_unband.py:15-22)."""
+    instream = seqio.afxstream(data_glob('collect.beta.?.txt'))
+    reads = sorted(unband_mod.unband(instream, numbatches=2),
+                   key=lambda r: r.name)
+    assert len(reads) == 8
+    assert len(reads[0].annotations) == 4
+
+
+@needsdata
+def test_unband_helium():
+    """Pinned read + annotation counts on the helium bands
+    (reference test_unband.py:25-34)."""
+    instream = seqio.afxstream(
+        data_glob('helium-unband/novel.band?.augfastq.gz'))
+    reads = list(unband_mod.unband(instream, numbatches=16))
+    assert len(reads) == 135
+    readname = 'seq1_haplo1_285110_285519_1:0:0_0:0:0_2dbcd/1'
+    someread = [r for r in reads if r.name == readname][0]
+    assert len(someread.annotations) == 75
+
+
+@needsdata
+def test_unband_cli(capsys):
+    """CLI merge emits all 135 FASTQ records
+    (reference test_unband.py:37-45)."""
+    import kevlar_tpu.cli
+    arglist = (['unband'] +
+               data_glob('helium-unband/novel.band?.augfastq.gz'))
+    args = kevlar_tpu.cli.parser().parse_args(arglist)
+    unband_mod.main(args)
+    out, err = capsys.readouterr()
+    qualdeflines = [ln for ln in out.strip().split('\n') if ln == '+']
+    assert len(qualdeflines) == 135
