@@ -104,8 +104,9 @@ def bedstream(bedfilelist):
 
 # Core substrate
 from kevlar_tpu.dna import revcom, revcommin, same_seq  # noqa: E402
-from kevlar_tpu.timer import Timer  # noqa: E402
-from kevlar_tpu.progress import ProgressIndicator  # noqa: E402
+from kevlar_tpu.support import (  # noqa: E402
+    Timer, ProgressIndicator, MutableString,
+)
 from kevlar_tpu.sequence import (  # noqa: E402
     Record, KmerOfInterest, parse_augmented_fastx, print_augmented_fastx,
 )
@@ -123,7 +124,7 @@ _STAGE_MODULES = (
     'count', 'novel', 'filter', 'unband', 'partition', 'split', 'assemble',
     'augment', 'localize', 'reference', 'call', 'varmap', 'cigar', 'alac',
     'varfilter', 'simlike', 'dist', 'gentrio', 'mutate', 'evaluate', 'vcf',
-    'readgraph', 'readpair', 'intervalforest', 'mutablestring', 'cli',
+    'readgraph', 'readpair', 'intervalforest', 'support', 'cli',
     'ops', 'parallel', 'workflow', 'workflows', 'native',
 )
 

@@ -1,40 +1,53 @@
-"""``augment`` stage: transfer interesting-k-mer annotations onto unannotated
-sequences (e.g. assembled contigs) by exact k-mer lookup (both strands)."""
+"""``augment`` stage: re-annotate naked sequences with interesting k-mers.
+
+Contigs come out of assembly with no annotations; this stage carries the
+interesting-k-mer labels from the annotated read stream onto any sequence
+that contains the same k-mer (either strand), keyed on the canonical
+(strand-min) form. Contract: kevlar/augment.py:13-45 — exact-match transfer
+with per-window offsets recomputed on the target sequence.
+"""
 
 import kevlar_tpu
-from kevlar_tpu import sequence
+from kevlar_tpu.dna import revcommin
+from kevlar_tpu.sequence import Record
+
+
+def _collect_ikmer_index(augseqstream, upint):
+    """One pass over the annotated stream -> {canonical kmer: abund}, ksize."""
+    index = {}
+    ksize = None
+    seen = 0
+    for record in augseqstream:
+        if seen and seen % upint == 0:
+            kevlar_tpu.plog(
+                '[kevlar::augment] processed', seen, 'input reads')
+        seen += 1
+        for ikmer in record.annotations:
+            index[revcommin(record.ikmerseq(ikmer))] = ikmer.abund
+            ksize = ikmer.ksize
+    return index, ksize
 
 
 def augment(augseqstream, nakedseqstream, upint=10000):
-    ksize = None
-    ikmers = {}
-    for n, record in enumerate(augseqstream):
-        if n > 0 and n % upint == 0:
-            kevlar_tpu.plog('[kevlar::augment] processed', n, 'input reads')
-        for ikmer in record.annotations:
-            seq = record.ikmerseq(ikmer)
-            ikmers[seq] = ikmer.abund
-            ikmers[kevlar_tpu.revcom(seq)] = ikmer.abund
-            ksize = ikmer.ksize
-
+    index, ksize = _collect_ikmer_index(augseqstream, upint)
     for record in nakedseqstream:
-        qual = getattr(record, 'quality', None)
-        newrecord = sequence.Record(
-            name=record.name, sequence=record.sequence, quality=qual)
+        fresh = Record(
+            name=record.name, sequence=record.sequence,
+            quality=getattr(record, 'quality', None))
         if ksize is not None:
-            numkmers = len(record.sequence) - ksize + 1
-            for offset in range(numkmers):
-                kmer = record.sequence[offset:offset + ksize]
-                if kmer in ikmers:
-                    newrecord.annotate(kmer, offset, ikmers[kmer])
-        yield newrecord
+            seq = record.sequence
+            for offset in range(len(seq) - ksize + 1):
+                window = seq[offset:offset + ksize]
+                abund = index.get(revcommin(window))
+                if abund is not None:
+                    fresh.annotate(window, offset, abund)
+        yield fresh
 
 
 def main(args):
-    augseqs = kevlar_tpu.parse_augmented_fastx(
+    annotated = kevlar_tpu.parse_augmented_fastx(
         kevlar_tpu.open(args.augseqs, 'r'))
-    nakedseqs = kevlar_tpu.parse_augmented_fastx(
-        kevlar_tpu.open(args.seqs, 'r'))
+    naked = kevlar_tpu.parse_augmented_fastx(kevlar_tpu.open(args.seqs, 'r'))
     outstream = kevlar_tpu.open(args.out, 'w')
-    for record in augment(augseqs, nakedseqs):
+    for record in augment(annotated, naked):
         kevlar_tpu.print_augmented_fastx(record, outstream)

@@ -9,7 +9,7 @@ import random
 import sys
 
 import kevlar_tpu
-from kevlar_tpu.mutablestring import MutableString
+from kevlar_tpu.support import MutableString
 from kevlar_tpu.vcf import Variant
 
 nucl_to_index = {'A': 0, 'C': 1, 'G': 2, 'T': 3}

@@ -1,140 +1,147 @@
-"""Overlapping read pairs anchored by one shared interesting k-mer.
+"""Pairwise read overlap anchored on one shared interesting k-mer.
 
-Behavioral parity with /root/reference/kevlar/readpair.py: relative
-orientation via k-mer sequence equality; head/tail assignment by largest
-k-mer offset, then read length, then name; offset/overlap computation; merge
-with perfect-overlap check; `incompatible` if the merge failed or the shared
-k-mer occurs more than once in either read.
+Given two annotated reads and the sequence of a k-mer they share, decide
+their relative orientation, which read extends left (the *tail*) and which
+extends right (the *head*), and whether their implied overlap is a perfect
+match — in which case the pair merges into one sequence.
 
-Used by strict-mode partitioning and the greedy overlap assembler.
+Behavioral contract (reference kevlar/readpair.py:15-178, pinned by the
+orientation-matrix tests): orientation from k-mer strand equality; tail
+chosen by deepest anchor offset across the two strand-consistent layouts,
+falling back to read length, then lexicographic name; a pair is
+*incompatible* when the anchor occurs more than once in either read (either
+strand) or the overlap is not a perfect match. The anchored-view
+decomposition here is original.
+
+Used by strict-mode partitioning (readgraph) and the greedy fallback
+assembler.
 """
 
-import kevlar_tpu
-from kevlar_tpu.sequence import Record, KmerOfInterest
+from kevlar_tpu.dna import revcom
 
 
-class ReadWithKmer:
-    def __init__(self, read, kmerseq):
-        self.read = read
-        self.kmer = read.ikmers.get(kmerseq)
-        self.kmerseq = read.ikmerseq(self.kmer) if self.kmer else None
-        self.num_occurrences = (
-            read.sequence.count(kmerseq) +
-            read.sequence.count(kevlar_tpu.revcom(kmerseq))
-        )
+class AnchoredView:
+    """A read projected onto one strand, with its anchor k-mer's offset.
 
-    def __len__(self):
-        return len(self.read.sequence)
+    ``seq``/``offset`` are in view coordinates; ``read`` exposes the
+    oriented sequence under the original read name (the surface downstream
+    consumers and ``ReadPair.__str__`` use).
+    """
 
-    @property
-    def offset(self):
-        return self.kmer.offset
+    __slots__ = ('seq', 'offset', 'ksize', '_name')
+
+    def __init__(self, seq, offset, ksize, name):
+        self.seq = seq
+        self.offset = offset
+        self.ksize = ksize
+        self._name = name
 
     @property
     def name(self):
-        return self.read.name
+        return self._name
 
-    def revcom(self):
-        seq = kevlar_tpu.revcom(self.read.sequence)
-        kmerseqrc = kevlar_tpu.revcom(self.kmerseq)
-        newoffset = len(seq) - self.kmer.offset - self.kmer.ksize
-        kmer = KmerOfInterest(self.kmer.ksize, newoffset, self.kmer.abund)
-        kdict = {self.kmerseq: kmer, kmerseqrc: kmer}
-        newread = Record(self.read.name, seq, annotations=[kmer], ikmers=kdict)
-        return ReadWithKmer(newread, self.kmerseq)
+    @property
+    def read(self):
+        return self
+
+    @property
+    def sequence(self):
+        return self.seq
+
+    @property
+    def kmer(self):
+        return self
+
+    def __len__(self):
+        return len(self.seq)
+
+    def flipped(self):
+        return AnchoredView(
+            revcom(self.seq), len(self.seq) - self.offset - self.ksize,
+            self.ksize, self._name)
+
+
+def _both_views(record, anchorseq):
+    """(forward view, reverse view, anchor-as-written, occurrence count)."""
+    ikmer = record.ikmers.get(anchorseq)
+    if ikmer is None:
+        return None, None, None, 0
+    hits = (record.sequence.count(anchorseq) +
+            record.sequence.count(revcom(anchorseq)))
+    fwd = AnchoredView(record.sequence, ikmer.offset, ikmer.ksize,
+                       record.name)
+    return fwd, fwd.flipped(), record.ikmerseq(ikmer), hits
 
 
 class ReadPair:
+    """Orient, order, and (when the overlap is perfect) merge two reads."""
+
     def __init__(self, read1, read2, sharedkmer):
-        self._r1 = ReadWithKmer(read1, sharedkmer)
-        self._r2 = ReadWithKmer(read2, sharedkmer)
-        self._r1rc = self._r1.revcom()
-        self._r2rc = self._r2.revcom()
-        self._seedkmer = sharedkmer
-        self._merged = None
+        self.sameorient = None
         self.head = None
         self.tail = None
-        self.overlap = None
         self.offset = None
-        self.sameorient = None
-        self.validate()
+        self.overlap = None
+        self._merged = None
+        f1, r1, asin1, hits1 = _both_views(read1, sharedkmer)
+        f2, r2, asin2, hits2 = _both_views(read2, sharedkmer)
+        if hits1 != 1 or hits2 != 1:
+            return
+        self.sameorient = asin1 == asin2
+        self.tail, self.head = self._order(f1, r1, f2, r2)
+        if self.tail.offset < self.head.offset:
+            self.tail, self.head = self.head, self.tail
+        self.offset = self.tail.offset - self.head.offset
+        self.overlap = len(self.tail) - self.offset
+        self._merged = self._try_merge()
 
-    def __str__(self):
-        return '{}\n{}{}\n{}{}'.format(
-            self.tail.read.sequence, ' ' * self.tail.offset,
-            '|' * self.tail.kmer.ksize, ' ' * self.offset,
-            self.head.read.sequence)
+    def _layouts(self, f1, r1, f2, r2):
+        """The two (read1-view, read2-view) layouts consistent with the
+        pair's relative orientation."""
+        if self.sameorient:
+            return (f1, f2), (r1, r2)
+        return (f1, r2), (r1, f2)
+
+    def _order(self, f1, r1, f2, r2):
+        """Pick (tail, head): deepest anchor wins; ties fall to length,
+        then name (keeping read1 on its forward strand)."""
+        first, second = self._layouts(f1, r1, f2, r2)
+        depth_first = max(first[0].offset, first[1].offset)
+        depth_second = max(second[0].offset, second[1].offset)
+        if depth_first != depth_second:
+            a, b = first if depth_first > depth_second else second
+            if a.offset >= b.offset:
+                return a, b
+            return b, a
+        if len(f1) != len(f2):
+            one_is_tail = len(f1) > len(f2)
+        elif f1.name != f2.name:
+            one_is_tail = f1.name < f2.name
+        else:
+            one_is_tail = True
+        partner2 = f2 if self.sameorient else r2
+        if one_is_tail:
+            return f1, partner2
+        return partner2, f1
+
+    def _try_merge(self):
+        left, right = self.tail.seq, self.head.seq
+        if right in left or left in right:
+            return left
+        reach = len(left) - self.offset
+        if left[self.offset:] == right[:reach]:
+            return left + right[reach:]
+        return None
 
     @property
     def incompatible(self):
         return self._merged is None
 
-    def assign_by_largest_kmer_offset(self):
-        if self.sameorient:
-            arrangements = [(self._r1, self._r2), (self._r1rc, self._r2rc)]
-        else:
-            arrangements = [(self._r1, self._r2rc), (self._r1rc, self._r2)]
-        offsets = [max(read.kmer.offset for read in arr)
-                   for arr in arrangements]
-        if len(set(offsets)) == 1:
-            return
-        optimal = arrangements[0] if offsets[0] > offsets[1] \
-            else arrangements[1]
-        self.tail = max(optimal, key=lambda r: r.kmer.offset)
-        self.head = min(optimal, key=lambda r: r.kmer.offset)
-
-    def assign_by_read_length(self):
-        if len(self._r1) == len(self._r2):
-            return
-        elif len(self._r1) > len(self._r2):
-            self.tail = self._r1
-            self.head = self._r2 if self.sameorient else self._r2rc
-        else:
-            self.tail = self._r2 if self.sameorient else self._r2rc
-            self.head = self._r1
-
-    def assign_by_read_name(self):
-        if self._r1.read.name < self._r2.read.name:
-            self.tail = self._r1
-            self.head = self._r2 if self.sameorient else self._r2rc
-        else:
-            self.tail = self._r2 if self.sameorient else self._r2rc
-            self.head = self._r1
-
-    def set_head_and_tail(self):
-        self.assign_by_largest_kmer_offset()
-        if self.tail is None:
-            self.assign_by_read_length()
-        if self.tail is None:
-            self.assign_by_read_name()
-        assert self.tail is not None
-
-    def calc_offset(self):
-        if self.tail.offset < self.head.offset:
-            self.head, self.tail = self.tail, self.head
-        self.offset = self.tail.offset - self.head.offset
-        self.overlap = len(self.tail) - self.offset
-
     @property
     def mergedseq(self):
         return self._merged
 
-    def _merge(self):
-        tailseq = self.tail.read.sequence
-        headseq = self.head.read.sequence
-        if headseq in tailseq or tailseq in headseq:
-            self._merged = tailseq
-            return
-        headindex = len(tailseq) - self.offset
-        headsuffix = headseq[headindex:]
-        tailprefix = tailseq[self.offset:self.offset + self.overlap]
-        if tailprefix == headseq[:headindex]:
-            self._merged = tailseq + headsuffix
-
-    def validate(self):
-        if self._r1.num_occurrences != 1 or self._r2.num_occurrences != 1:
-            return
-        self.sameorient = self._r1.kmerseq == self._r2.kmerseq
-        self.set_head_and_tail()
-        self.calc_offset()
-        self._merge()
+    def __str__(self):
+        return '{}\n{}{}\n{}{}'.format(
+            self.tail.seq, ' ' * self.tail.offset,
+            '|' * self.tail.ksize, ' ' * self.offset, self.head.seq)

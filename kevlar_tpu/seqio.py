@@ -1,14 +1,19 @@
 """Host sequence I/O: FASTA/FASTQ parsing and partitioned-read streams.
 
-Behavioral parity with /root/reference/kevlar/seqio.py: partition streams are
-keyed on ``kvcc=N`` labels in read names, and mixing labeled/unlabeled reads
-is an error.
+Behavioral contract (reference kevlar/seqio.py): partition streams group
+consecutive reads sharing a ``kvcc=N`` label in the read name; mixing
+labeled and unlabeled reads is an error; unlabeled input forms one group
+keyed ``None``. The grouping here is built on ``itertools.groupby`` over a
+label-tagging generator rather than the reference's explicit state machine.
 """
 
+from itertools import groupby
 import re
 
 import kevlar_tpu
 from kevlar_tpu.sequence import Record, parse_augmented_fastx
+
+_PART_LABEL = re.compile(r'kvcc=(\d+)')
 
 
 class KevlarPartitionLabelError(ValueError):
@@ -17,113 +22,109 @@ class KevlarPartitionLabelError(ValueError):
 
 def parse_fasta(data):
     """Yield (defline, sequence) tuples from FASTA text lines."""
-    name, seq = None, []
-    for line in data:
-        line = line.rstrip()
-        if line.startswith('>'):
-            if name:
-                yield (name, ''.join(seq))
-            name, seq = line, []
+    defline = None
+    chunks = []
+    for raw in data:
+        text = raw.rstrip()
+        if text[:1] == '>':
+            if defline is not None:
+                yield defline, ''.join(chunks)
+            defline = text
+            chunks = []
         else:
-            seq.append(line)
-    if name:
-        yield (name, ''.join(seq))
+            chunks.append(text)
+    if defline is not None:
+        yield defline, ''.join(chunks)
 
 
 def parse_seq_dict(data):
-    """Load FASTA into a {seqid: sequence} dict (first defline token)."""
+    """Load FASTA into {seqid: sequence}, keyed on the first defline token."""
     seqs = {}
-    for defline, sequence in parse_fasta(data):
-        seqid = defline[1:].replace('\t', ' ').split(' ')[0]
-        assert seqid not in seqs, seqid
-        seqs[seqid] = sequence
+    for defline, seq in parse_fasta(data):
+        key = defline[1:].replace('\t', ' ').split(' ')[0]
+        assert key not in seqs, key
+        seqs[key] = seq
     return seqs
+
+
+def _lines(instream):
+    for line in instream:
+        if line.strip():
+            yield line.rstrip('\n')
 
 
 def parse_fastx(instream):
     """Yield plain Records from FASTA or FASTQ text (no annotations)."""
-    first = None
-    for line in instream:
-        if line.strip():
-            first = line
-            break
-    if first is None:
+    lines = _lines(instream)
+    head = next(lines, None)
+    if head is None:
         return
-    if first[0] == '>':
-        name, seq = first[1:].strip(), []
-        for line in instream:
-            line = line.rstrip()
-            if line.startswith('>'):
-                yield Record(name=name, sequence=''.join(seq))
-                name, seq = line[1:].strip(), []
-            elif line:
-                seq.append(line)
-        yield Record(name=name, sequence=''.join(seq))
-    elif first[0] == '@':
-        line = first
-        while True:
-            name = line[1:].strip()
-            seq = next(instream).strip()
-            next(instream)
-            qual = next(instream).strip()
-            yield Record(name=name, sequence=seq, quality=qual)
-            line = instream.readline() if hasattr(instream, 'readline') \
-                else next(instream, '')
-            while line and not line.strip():
-                line = instream.readline() if hasattr(instream, 'readline') \
-                    else next(instream, '')
-            if not line:
-                return
+    if head[0] == '>':
+        defline = head
+        body = []
+        for line in lines:
+            if line[0] == '>':
+                yield Record(name=defline[1:].strip(),
+                             sequence=''.join(body))
+                defline, body = line, []
+            else:
+                body.append(line.strip())
+        yield Record(name=defline[1:].strip(), sequence=''.join(body))
+    elif head[0] == '@':
+        while head is not None:
+            seq = next(lines)
+            next(lines)  # '+' separator
+            qual = next(lines)
+            yield Record(name=head[1:].strip(), sequence=seq.strip(),
+                         quality=qual.strip())
+            head = next(lines, None)
     else:
-        raise ValueError('unrecognized sequence format: ' + first[:40])
+        raise ValueError('unrecognized sequence format: ' + head[:40])
 
 
 def multi_file_iter(filenames, parser=parse_fastx):
     for filename in filenames:
         with kevlar_tpu.open(filename, 'r') as fh:
-            for record in parser(fh):
-                yield record
+            yield from parser(fh)
 
 
 def afxstream(filelist):
     for infile in filelist:
-        fh = kevlar_tpu.open(infile, 'r')
-        for record in parse_augmented_fastx(fh):
-            yield record
+        yield from parse_augmented_fastx(kevlar_tpu.open(infile, 'r'))
 
 
 def partition_id(readname):
-    partmatch = re.search(r'kvcc=(\d+)', readname)
-    if not partmatch:
-        return None
-    return partmatch.group(1)
+    hit = _PART_LABEL.search(readname)
+    return hit.group(1) if hit else None
+
+
+def _tag_with_labels(readstream):
+    """Yield (label, read); raise on a labeled/unlabeled mix."""
+    expect_labels = None
+    for read in readstream:
+        name = getattr(read, 'name', None)
+        if name is None:
+            name = read.defline
+        label = partition_id(name)
+        if expect_labels is None:
+            expect_labels = label is not None
+        elif expect_labels != (label is not None):
+            raise KevlarPartitionLabelError(
+                'reads with and without partition labels (kvcc=#)')
+        yield label, read
 
 
 def parse_partitioned_reads(readstream):
-    current_part = None
-    reads = []
-    for read in readstream:
-        name = read.name if hasattr(read, 'name') else read.defline
-        part = partition_id(name)
-        if part is None:
-            reads.append(read)
-            current_part = False
-            continue
-        if current_part is False:
-            message = 'reads with and without partition labels (kvcc=#)'
-            raise KevlarPartitionLabelError(message)
-        if part != current_part:
-            if current_part:
-                yield current_part, reads
-                reads = []
-            current_part = part
-        reads.append(read)
-    if current_part is False:
-        current_part = None
-    yield current_part, reads
+    empty = True
+    for label, group in groupby(_tag_with_labels(readstream),
+                                key=lambda pair: pair[0]):
+        empty = False
+        yield label, [read for _, read in group]
+    if empty:
+        yield None, []
 
 
 def parse_single_partition(readstream, partid):
-    for pid, partition in parse_partitioned_reads(readstream):
-        if pid == partid:
-            yield pid, partition
+    for label, reads in parse_partitioned_reads(readstream):
+        if label == partid:
+            yield label, reads

@@ -1,33 +1,46 @@
-"""``split`` stage: round-robin partitions across N output files."""
+"""``split`` stage: deal partitions round-robin into N shard files.
 
-from itertools import cycle
+Scatter step of the reference's scatter/gather partition parallelism
+(contract: kevlar/split.py:14-29 — round-robin by partition, oversized
+partitions dropped with a warning but still consuming their slot).
+"""
 
 import kevlar_tpu
 from kevlar_tpu import seqio
+from kevlar_tpu.sequence import print_augmented_fastx
+
+OVERSIZE_LIMIT = 10000
 
 
-def split(pstream, outstreams, maxreads=10000):
-    for partdata, outstream in zip(pstream, cycle(outstreams)):
-        partid, partition = partdata
-        if len(partition) > maxreads:
-            message = 'WARNING: discarding partition with {} reads'.format(
-                len(partition))
-            kevlar_tpu.plog('[kevlar::split]', message)
+def split(pstream, outstreams, maxreads=OVERSIZE_LIMIT):
+    fanout = len(outstreams)
+    for slot, (partid, reads) in enumerate(pstream):
+        if len(reads) > maxreads:
+            kevlar_tpu.plog(
+                '[kevlar::split]',
+                'WARNING: discarding partition with {} reads'.format(
+                    len(reads)))
             continue
-        for read in partition:
-            kevlar_tpu.print_augmented_fastx(read, outstream)
+        sink = outstreams[slot % fanout]
+        for read in reads:
+            print_augmented_fastx(read, sink)
+
+
+def _shard_path(base, index, gzipped):
+    path = '{}.{}.augfastx'.format(base, index)
+    return path + '.gz' if gzipped else path
 
 
 def main(args):
-    partfile = kevlar_tpu.open(args.infile, 'r')
-    readstream = kevlar_tpu.parse_augmented_fastx(partfile)
-    partstream = seqio.parse_partitioned_reads(readstream)
-    outstreams = []
-    for i in range(args.numfiles):
-        outfile = '{:s}.{:d}.augfastx'.format(args.base, i)
-        if args.infile.endswith('.gz'):
-            outfile += '.gz'
-        outstreams.append(kevlar_tpu.open(outfile, 'w'))
-    split(partstream, outstreams)
-    for stream in outstreams:
-        stream.close()
+    instream = kevlar_tpu.open(args.infile, 'r')
+    reads = kevlar_tpu.parse_augmented_fastx(instream)
+    gz = str(args.infile).endswith('.gz')
+    sinks = [
+        kevlar_tpu.open(_shard_path(args.base, i, gz), 'w')
+        for i in range(args.numfiles)
+    ]
+    try:
+        split(seqio.parse_partitioned_reads(reads), sinks)
+    finally:
+        for sink in sinks:
+            sink.close()

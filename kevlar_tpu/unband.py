@@ -1,13 +1,15 @@
-"""``unband`` stage: merge per-band novel outputs into one stream.
+"""``unband`` stage: merge per-band novel outputs into one read stream.
 
-Parity with /root/reference/kevlar/unband.py: records are hash-partitioned by
-read name into temp batch files; within a batch, duplicate reads' annotation
-lists are unioned and sorted by offset.
+When the screen ran as N hash-band passes, the same read can appear in
+several outputs with disjoint annotation sets. This stage unions those
+annotation lists per read name (contract: kevlar/unband.py:26-77). To bound
+memory it spills records into name-hashed temp buckets and merges one
+bucket at a time, emitting each bucket's reads in sorted-name order with
+annotations sorted by offset.
 
-Note that in the fully TPU-native pipeline banding is usually unnecessary —
-the sketch is hash-sharded across devices instead of re-run per band
-(see kevlar_tpu.parallel) — but the file-based merge is kept for parity and
-for offline/multi-pass workflows.
+In the fully TPU-native pipeline banding is normally replaced by a
+hash-sharded device sketch (kevlar_tpu.parallel) and this stage is a no-op;
+it is kept for offline/multi-pass workflows.
 """
 
 from tempfile import TemporaryDirectory
@@ -16,63 +18,60 @@ import kevlar_tpu
 from kevlar_tpu import seqio
 
 
-def create_batch_files(numbatches, tempdir):
-    batchfiles = []
-    for i in range(numbatches):
-        tempfn = '{dir:s}/kevlar-unband-batch{batch:d}.augfastq.gz'.format(
-            dir=tempdir, batch=i)
-        batchfiles.append(kevlar_tpu.open(tempfn, 'w'))
-    return batchfiles
+class _NameBuckets:
+    """Spill-to-disk grouping of augmented records by read-name hash."""
 
+    def __init__(self, nbuckets, tempdir):
+        self._paths = [
+            '{}/unband-bucket{}.augfastq.gz'.format(tempdir, i)
+            for i in range(nbuckets)
+        ]
+        self._sinks = [kevlar_tpu.open(p, 'w') for p in self._paths]
 
-def write_records_to_batches(recordstream, batchfiles):
-    numbatches = len(batchfiles)
-    kevlar_tpu.plog('[kevlar::unband] writing records to '
-                    '{:d} temp batch files'.format(numbatches))
-    for record in recordstream:
-        batch = hash(record.name) % numbatches
-        kevlar_tpu.print_augmented_fastx(record, batchfiles[batch])
+    def add(self, record):
+        sink = self._sinks[hash(record.name) % len(self._sinks)]
+        kevlar_tpu.print_augmented_fastx(record, sink)
 
+    def merged_buckets(self):
+        """Close sinks, then yield per-bucket streams of merged records."""
+        for sink in self._sinks:
+            sink.close()
+        for path in self._paths:
+            with kevlar_tpu.open(path, 'r') as fh:
+                yield self._merge_one(kevlar_tpu.parse_augmented_fastx(fh))
 
-def resolve_batch(batchfile):
-    reads = {}
-    filename = batchfile.name
-    batchfile.close()
-    batchfile = kevlar_tpu.open(filename, 'r')
-    for read in kevlar_tpu.parse_augmented_fastx(batchfile):
-        if read.name not in reads:
-            reads[read.name] = read
-        else:
-            for ikmer in read.annotations:
-                reads[read.name].annotations.append(ikmer)
-    for readname in sorted(reads):
-        read = reads[readname]
-        read.annotations.sort(key=lambda k: k.offset)
-        yield read
-    batchfile.close()
-
-
-def resolve_batches(batchfiles):
-    kevlar_tpu.plog('[kevlar::unband] resolving duplicate reads in '
-                    '{:d} batches'.format(len(batchfiles)))
-    for n, batchfile in enumerate(batchfiles):
-        for read in resolve_batch(batchfile):
-            yield read
-        kevlar_tpu.plog(
-            '[kevlar::unband]     batch {:d} complete'.format(n))
-    kevlar_tpu.plog('[kevlar::unband] Done!')
+    @staticmethod
+    def _merge_one(records):
+        byname = {}
+        for record in records:
+            prior = byname.setdefault(record.name, record)
+            if prior is not record:
+                prior.annotations.extend(record.annotations)
+        for name in sorted(byname):
+            merged = byname[name]
+            merged.annotations.sort(key=lambda ik: ik.offset)
+            yield merged
 
 
 def unband(recordstream, numbatches=16):
     with TemporaryDirectory() as tempdir:
-        batchfiles = create_batch_files(numbatches, tempdir)
-        write_records_to_batches(recordstream, batchfiles)
-        for read in resolve_batches(batchfiles):
-            yield read
+        buckets = _NameBuckets(numbatches, tempdir)
+        kevlar_tpu.plog(
+            '[kevlar::unband] writing records to '
+            '{:d} temp batch files'.format(numbatches))
+        for record in recordstream:
+            buckets.add(record)
+        kevlar_tpu.plog(
+            '[kevlar::unband] resolving duplicate reads in '
+            '{:d} batches'.format(numbatches))
+        for n, bucket in enumerate(buckets.merged_buckets()):
+            yield from bucket
+            kevlar_tpu.plog(
+                '[kevlar::unband]     batch {:d} complete'.format(n))
+        kevlar_tpu.plog('[kevlar::unband] Done!')
 
 
 def main(args):
     outstream = kevlar_tpu.open(args.out, 'w')
-    records = seqio.afxstream(args.infile)
-    for read in unband(records, args.n_batches):
+    for read in unband(seqio.afxstream(args.infile), args.n_batches):
         kevlar_tpu.print_augmented_fastx(read, outstream)

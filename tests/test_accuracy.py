@@ -17,7 +17,7 @@ from kevlar_tpu.alac import alac
 from kevlar_tpu.simlike import simlike
 from kevlar_tpu.sketch import Sketch
 from kevlar_tpu.gentrio import simulate_variant_genotypes, apply_mutation
-from kevlar_tpu.mutablestring import MutableString
+from kevlar_tpu.support import MutableString
 
 from . import simdata
 

@@ -8,7 +8,7 @@ import pytest
 
 import kevlar_tpu
 from kevlar_tpu.cigar import AlignmentTokenizer
-from kevlar_tpu.mutablestring import MutableString
+from kevlar_tpu.support import MutableString
 from kevlar_tpu.vcf import Variant, VCFWriter, VCFReader, VariantFilter
 
 
