@@ -66,15 +66,14 @@ def plog(*args, **kwargs):
 
 
 def open(filename, mode):
+    """gz-aware text open; '-'/None mean stdin/stdout."""
     if mode not in ('r', 'w'):
         raise ValueError('invalid mode "{}"'.format(mode))
-    if filename in ['-', None]:
+    if filename in ('-', None):
         return sys.stdin if mode == 'r' else sys.stdout
-    openfunc = builtins.open
     if str(filename).endswith('.gz'):
-        openfunc = gzopen
-        mode += 't'
-    return openfunc(filename, mode)
+        return gzopen(filename, mode + 't')
+    return builtins.open(filename, mode)
 
 
 def mkdirp(path, trim=False):
@@ -84,22 +83,18 @@ def mkdirp(path, trim=False):
 
 
 def parse_bed(instream):
+    """Yield (chrom, start, end, extra-fields) from BED text."""
     for line in instream:
-        if line.startswith('#'):
+        row = line.strip()
+        if not row or row.startswith('#'):
             continue
-        line = line.strip()
-        if line == '':
-            continue
-        values = re.split(r'\s+', line)
-        chrom, start, end, *data = values
-        yield chrom, int(start), int(end), data
+        chrom, start, end, *extra = re.split(r'\s+', row)
+        yield chrom, int(start), int(end), extra
 
 
 def bedstream(bedfilelist):
     for bedfile in bedfilelist:
-        fh = open(bedfile, 'r')
-        for values in parse_bed(fh):
-            yield values
+        yield from parse_bed(open(bedfile, 'r'))
 
 
 # Core substrate

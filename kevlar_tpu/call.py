@@ -1,81 +1,97 @@
 """``call`` stage: align contigs to reference cutouts and call variants.
 
-Parity with /root/reference/kevlar/call.py: per partition, every contig is
-aligned to every cutout; only interpretable alignments with the optimal score
-are reported; calls are deduplicated by (seqid, pos) keeping the longest
-window; adjacent SNVs merge into MNVs; targets longer than
-``--max-target-length`` become no-calls; ``--gen-mask`` persists a
-variant-spanning-k-mer Bloom mask for reuse.
+Per partition, every contig aligns against every cutout (all pairs batched
+through the device wavefront engine — one size-bucketed dispatch per
+partition — or the native host aligner, ops/align.py); only the
+interpretable alignment(s) with the optimal score are reported. Calls
+dedup by (seqid, pos) keeping the longest window, adjacent SNVs merge into
+MNVs, targets beyond ``--max-target-length`` become no-calls, and
+``--gen-mask`` persists a Bloom mask of variant-spanning k-mers.
+Behavioral contract: reference kevlar/call.py:18-172.
 """
-
-from collections import defaultdict
 
 import kevlar_tpu
 from kevlar_tpu import seqio
+from kevlar_tpu.ops.align import align_both_strands_batch
 from kevlar_tpu.varmap import VariantMapping
-from kevlar_tpu.vcf import VariantFilter as vf
 
 
 def alignments_to_report(alignments):
-    """Pick the interpretable alignment(s) with the optimal score."""
+    """The interpretable alignment(s) with the optimal score (all of them,
+    when interpretable ones exist; otherwise everything ties)."""
     if len(alignments) <= 1:
         return alignments
-    scrtbl = [aln for aln in alignments if aln.vartype is not None]
-    finallist = scrtbl if scrtbl else alignments
-    bestscore = max(aln.score for aln in finallist)
-    return [aln for aln in finallist if aln.score == bestscore]
+    pool = [aln for aln in alignments if aln.vartype is not None]
+    if not pool:
+        pool = alignments
+    best = max(aln.score for aln in pool)
+    return [aln for aln in pool if aln.score == best]
 
 
 def dedup(callstream):
-    calls = {}
+    """One call per (seqid, position): keep the widest window."""
+    best = {}
     for call in callstream:
-        if call.seqid not in calls:
-            calls[call.seqid] = defaultdict(set)
-        calls[call.seqid][call.position].add(call)
-    for seqid in sorted(calls):
-        for position in sorted(calls[seqid]):
-            sortedcalls = sorted(
-                calls[seqid][position], key=lambda call: call.windowlength,
-                reverse=True)
-            yield sortedcalls[0]
+        key = (call.seqid, call.position)
+        rival = best.get(key)
+        if rival is None or call.windowlength > rival.windowlength:
+            best[key] = call
+    for key in sorted(best):
+        yield best[key]
 
 
 def merge_adjacent(callstream):
-    prev = None
+    """Fold immediately adjacent compatible SNVs into MNVs."""
+    held = None
     for call in callstream:
-        if prev is not None:
-            trymerge = prev.test_merge(call)
-            if trymerge is not None:
-                call = trymerge
-                prev = None
-        if prev is not None:
-            yield prev
-        prev = call
-    if prev is not None:
-        yield prev
+        if held is not None and held.test_merge(call) is not None:
+            continue  # `call` absorbed into `held`; keep extending it
+        if held is not None:
+            yield held
+        held = call
+    if held is not None:
+        yield held
+
+
+def _partition_mappings(targets, oversize, query, strandings, **kw):
+    """VariantMappings of one query against every target, consuming
+    precomputed (score, cigar, strand) tuples for the aligned ones."""
+    mappings = []
+    for target, toobig in zip(targets, oversize):
+        if toobig:
+            mappings.append(VariantMapping(query, target, nocall=True))
+        else:
+            score, cigar, strand = next(strandings)
+            mappings.append(VariantMapping(
+                query, target, score=score, cigar=cigar, strand=strand, **kw))
+    return mappings
 
 
 def prelim_call(targetlist, querylist, partid=None, match=1, mismatch=2,
                 gapopen=5, gapextend=0, ksize=31, refrfile=None, debug=False,
                 mindist=5, homopolyfilt=True, maxtargetlen=10000):
     """The core calling procedure, as a generator."""
-    for query in sorted(querylist, reverse=True, key=len):
-        alignments = []
-        for target in sorted(targetlist, key=lambda cutout: cutout.defline):
-            nocall = bool(maxtargetlen and len(target) > maxtargetlen)
-            mapping = VariantMapping(
-                query, target, match=match, mismatch=mismatch,
-                gapopen=gapopen, gapextend=gapextend,
-                homopolyfilt=homopolyfilt, nocall=nocall)
-            alignments.append(mapping)
-        aligns2report = alignments_to_report(alignments)
-        for alignment in aligns2report:
+    queries = sorted(querylist, reverse=True, key=len)
+    targets = sorted(targetlist, key=lambda cutout: cutout.defline)
+    oversize = [bool(maxtargetlen and len(t) > maxtargetlen)
+                for t in targets]
+    jobs = [(t.sequence, q.sequence)
+            for q in queries
+            for t, big in zip(targets, oversize) if not big]
+    strandings = iter(align_both_strands_batch(
+        jobs, match=match, mismatch=mismatch, gapopen=gapopen,
+        gapextend=gapextend))
+
+    for query in queries:
+        mappings = _partition_mappings(
+            targets, oversize, query, strandings,
+            homopolyfilt=homopolyfilt)
+        for aln in alignments_to_report(mappings):
             if debug:
                 kevlar_tpu.plog(
-                    'DEBUG ', alignment.cutout.defline, ' vs ',
-                    alignment.contig.name, '\n', str(alignment), sep='',
-                    end='\n\n')
-            for varcall in alignment.call_variants(ksize, mindist):
+                    'DEBUG ', aln.cutout.defline, ' vs ', aln.contig.name,
+                    '\n', str(aln), sep='', end='\n\n')
+            for varcall in aln.call_variants(ksize, mindist):
                 if partid is not None:
                     varcall.annotate('PART', partid)
                 yield varcall
@@ -83,79 +99,67 @@ def prelim_call(targetlist, querylist, partid=None, match=1, mismatch=2,
 
 def call(*args, **kwargs):
     """prelim_call + dedup + adjacent-SNV merge."""
-    for varcall in merge_adjacent(dedup(prelim_call(*args, **kwargs))):
-        yield varcall
+    yield from merge_adjacent(dedup(prelim_call(*args, **kwargs)))
 
 
 def load_contigs(contigstream):
     kevlar_tpu.plog('[kevlar::call] Loading contigs into memory by partition')
-    contigs_by_partition = {}
-    nparts = 0
-    ncontigs = 0
-    for partid, contiglist in contigstream:
-        nparts += 1
-        ncontigs += len(contiglist)
-        contigs_by_partition[partid] = contiglist
+    by_partition = dict(contigstream)
+    ncontigs = sum(len(c) for c in by_partition.values())
     kevlar_tpu.plog('[kevlar::call] Loaded {} contigs from {} '
-                    'partitions'.format(ncontigs, nparts))
-    return contigs_by_partition
+                    'partitions'.format(ncontigs, len(by_partition)))
+    return by_partition
 
 
 def make_call_mask(calls, ksize, maskmem, maskmaxfpr=0.01, maskfile=None,
                    logprefix='[kevlar::call]'):
     """Build a Bloom mask of ALTWINDOW k-mers from a call set."""
-    from kevlar_tpu import sketch as sketch_mod
-    buckets = int(maskmem) * sketch_mod.BUCKETS_PER_BYTE[1] // 4
-    mask = sketch_mod.Sketch(ksize, buckets, 4, counter_bits=1,
-                             backend='host')
+    from kevlar_tpu import sketch
+    buckets = int(maskmem) * sketch.BUCKETS_PER_BYTE[1] // 4
+    mask = sketch.Sketch(ksize, buckets, 4, counter_bits=1, backend='host')
     for varcall in calls:
         window = varcall.attribute('ALTWINDOW')
         if window is not None and len(window) >= ksize:
             mask.consume(window)
-    fpr = sketch_mod.estimate_fpr(mask)
+    fpr = sketch.estimate_fpr(mask)
     if fpr > maskmaxfpr:
-        message = 'WARNING: mask FPR is {:.4f}'.format(fpr)
-        message += '; exceeds user-specified limit of {:.4f}'.format(
-            maskmaxfpr)
-        kevlar_tpu.plog(logprefix, message)
+        kevlar_tpu.plog(
+            logprefix,
+            'WARNING: mask FPR is {:.4f}; exceeds user-specified limit '
+            'of {:.4f}'.format(fpr, maskmaxfpr))
     if maskfile:
         mask.save(maskfile)
     return mask
 
 
 def main(args):
-    outstream = kevlar_tpu.open(args.out, 'w')
-    from kevlar_tpu import vcf as vcf_mod
-    from kevlar_tpu import reference as reference_mod
-    writer = vcf_mod.VCFWriter(
-        outstream, source='kevlar::call', refr=args.refr)
+    from kevlar_tpu import reference
+    from kevlar_tpu import vcf
+    writer = vcf.VCFWriter(kevlar_tpu.open(args.out, 'w'),
+                           source='kevlar::call', refr=args.refr)
     writer.write_header()
 
-    contigstream = seqio.parse_partitioned_reads(
-        kevlar_tpu.parse_augmented_fastx(
-            kevlar_tpu.open(args.queryseq, 'r')))
-    contigs_by_partition = load_contigs(contigstream)
-
+    contigs_by_partition = load_contigs(seqio.parse_partitioned_reads(
+        kevlar_tpu.parse_augmented_fastx(kevlar_tpu.open(args.queryseq,
+                                                         'r'))))
     gdnastream = seqio.parse_partitioned_reads(
-        reference_mod.load_refr_cutouts(
-            kevlar_tpu.open(args.targetseq, 'r')))
-    allcalls = []
+        reference.load_refr_cutouts(kevlar_tpu.open(args.targetseq, 'r')))
+    maskable = []
     for partid, gdnas in gdnastream:
         if partid not in contigs_by_partition:
             continue
-        contigs = contigs_by_partition[partid]
-        caller = call(
-            gdnas, contigs, partid, match=args.match, mismatch=args.mismatch,
-            gapopen=args.open, gapextend=args.extend, ksize=args.ksize,
-            refrfile=args.refr, debug=args.debug, mindist=5,
-            homopolyfilt=not args.no_homopoly_filter,
-            maxtargetlen=args.max_target_length)
-        for varcall in caller:
+        for varcall in call(gdnas, contigs_by_partition[partid], partid,
+                            match=args.match, mismatch=args.mismatch,
+                            gapopen=args.open, gapextend=args.extend,
+                            ksize=args.ksize, refrfile=args.refr,
+                            debug=args.debug, mindist=5,
+                            homopolyfilt=not args.no_homopoly_filter,
+                            maxtargetlen=args.max_target_length):
             if args.gen_mask:
-                allcalls.append(varcall)
+                maskable.append(varcall)
             writer.write(varcall)
     if args.gen_mask:
         kevlar_tpu.plog('[kevlar::call] generating mask of variant-spanning '
                         'k-mers')
-        make_call_mask(allcalls, args.ksize, args.mask_mem,
+        make_call_mask(maskable, args.ksize, args.mask_mem,
                        args.mask_max_fpr, args.gen_mask)

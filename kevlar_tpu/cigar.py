@@ -1,8 +1,12 @@
 """CIGAR tokenization into alignment blocks carrying subsequences.
 
-Parity with /root/reference/kevlar/cigar.py, including the `_endcheck`
-canonicalisation that merges a spurious trailing M block across a terminal
-indel when the sequences are compatible (a common ksw2 tie-break artifact).
+Each CIGAR operation is materialized as a block holding the target/query
+subsequence it consumes, so variant interpretation can read alleles
+straight out of the blocks. ksw2 sometimes emits a spurious short trailing
+match block after a terminal indel; the tokenizer detects that tie-break
+artifact and folds it into the preceding match block (behavioral contract:
+reference kevlar/cigar.py:18-71; canonical CIGARs pinned in
+tests/test_reference_parity_units.py).
 """
 
 from collections import namedtuple
@@ -10,53 +14,64 @@ import re
 
 AlignmentBlock = namedtuple('AlignmentBlock', 'length type target query')
 
+_OPERATION = re.compile(r'(\d+)([DIM])')
+
+
+def _materialize(cigar, query, target):
+    """Cut query/target into per-operation subsequences (cursor-based)."""
+    blocks = []
+    qpos = tpos = 0
+    for hit in _OPERATION.finditer(cigar):
+        span, op = int(hit.group(1)), hit.group(2)
+        tseq = qseq = None
+        if op != 'I':
+            tseq = target[tpos:tpos + span]
+            tpos += span
+        if op != 'D':
+            qseq = query[qpos:qpos + span]
+            qpos += span
+        blocks.append(AlignmentBlock(span, op, tseq, qseq))
+    assert tpos == len(target) and qpos == len(query)
+    return blocks
+
+
+def _render(blocks):
+    return ''.join('{:d}{:s}'.format(b.length, b.type) for b in blocks)
+
 
 class AlignmentTokenizer:
+    """Blocks of an alignment, with the terminal-indel artifact folded.
+
+    Attributes: ``blocks`` (list of AlignmentBlock), ``cigar`` (canonical
+    CIGAR string), ``origcigar`` (as produced by the aligner).
+    """
+
     def __init__(self, queryseq, targetseq, cigar):
         self._query = queryseq
         self._target = targetseq
-        self._origcigar = cigar
-        self._cigar = cigar
-        self.blocks = list(self._tokenize())
-        self._endcheck()
+        self.origcigar = cigar
+        self.blocks = _materialize(cigar, queryseq, targetseq)
+        self.cigar = cigar
+        if self._fold_terminal_match():
+            self.cigar = _render(self.blocks)
 
-    def _tokenize(self):
-        target = self._target
-        query = self._query
-        for block in re.finditer(r'(\d+)([DIM])', self._origcigar):
-            length = int(block.group(1))
-            blocktype = block.group(2)
-            tseq, qseq = None, None
-            if blocktype in ('M', 'D'):
-                tseq = target[:length]
-                target = target[length:]
-            if blocktype in ('M', 'I'):
-                qseq = query[:length]
-                query = query[length:]
-            yield AlignmentBlock(length, blocktype, tseq, qseq)
-        assert target == ''
-        assert query == ''
-
-    def _endcheck(self):
+    def _fold_terminal_match(self):
+        """If the final M block's sequence is explained by sliding it
+        across the preceding terminal indel, merge it into the earlier M
+        block (the aligner split it only by tie-break accident)."""
         if len(self.blocks) < 3:
-            return
-        if self.blocks[-1].type != 'M' or self.blocks[-3].type != 'M':
-            return
-        if self.blocks[-2].type == 'D':
-            prevseq = self.blocks[-2].target
-            lastseq = self.blocks[-1].target
-            endseq = self.blocks[-1].query
+            return False
+        anchor, gap, tail = self.blocks[-3:]
+        if tail.type != 'M' or anchor.type != 'M':
+            return False
+        if gap.type == 'D':
+            slid, stub = gap.target + tail.target, tail.query
         else:
-            prevseq = self.blocks[-2].query
-            lastseq = self.blocks[-1].query
-            endseq = self.blocks[-1].target
-        longseq = prevseq + lastseq
-        if longseq.startswith(endseq):
-            self.blocks[-3] = AlignmentBlock(
-                self.blocks[-3].length + self.blocks[-1].length, 'M',
-                self.blocks[-3].target + self.blocks[-1].target,
-                self.blocks[-3].query + self.blocks[-1].query,
-            )
-            del self.blocks[-1]
-            self._cigar = ''.join(
-                '{:d}{:s}'.format(b.length, b.type) for b in self.blocks)
+            slid, stub = gap.query + tail.query, tail.target
+        if not slid.startswith(stub):
+            return False
+        merged = AlignmentBlock(
+            anchor.length + tail.length, 'M',
+            anchor.target + tail.target, anchor.query + tail.query)
+        self.blocks[-3:] = [merged, gap]
+        return True

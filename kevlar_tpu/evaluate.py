@@ -1,58 +1,58 @@
-"""Accuracy evaluation: match calls against truth intervals by CALLCLASS."""
+"""Accuracy evaluation: reconcile PASS calls against truth intervals.
 
-from collections import defaultdict
+Calls sharing a CALLCLASS describe the same candidate event; per class,
+keep the call that matches a truth interval (annotated ``EVAL=True``), or
+the best-scoring call annotated ``EVAL=False`` when none match. Contract:
+reference kevlar/evaluate.py:16-79 (input assumed sorted by LIKESCORE;
+output re-sorted, non-positive scores dropped).
+"""
+
 import sys
 
 from kevlar_tpu.intervalforest import IntervalForest
 
 
 def populate_index_from_bed(instream):
-    index = IntervalForest()
+    truth = IntervalForest()
     for line in instream:
-        if line.startswith('#') or line.strip() == '':
+        row = line.strip()
+        if not row or row.startswith('#'):
             continue
-        values = line.strip().split()
-        chrom = values[0]
-        start, end = [int(coord) for coord in values[1:3]]
-        strrepr = '{:s}:{:d}-{:d}'.format(chrom, start, end)
-        index.insert(chrom, start, end, strrepr)
-    return index
+        fields = row.split()
+        chrom, start, end = fields[0], int(fields[1]), int(fields[2])
+        truth.insert(chrom, start, end,
+                     '{:s}:{:d}-{:d}'.format(chrom, start, end))
+    return truth
+
+
+def _reconcile_class(callclass, calllist, truth, delta):
+    """Pick one call for a CALLCLASS group: the first (= highest-scoring)
+    truth match, else the group's best call flagged as a false call."""
+    matches = [c for c in calllist
+               if truth.query(c.seqid, c.position, delta=delta)]
+    if not matches:
+        calllist[0].annotate('EVAL', 'False')
+        return calllist[0]
+    if len(matches) > 1:
+        print('WARNING: found', len(matches), 'matches for CALLCLASS',
+              callclass, file=sys.stderr)
+    matches[0].annotate('EVAL', 'True')
+    return matches[0]
 
 
 def compact(variants, index, delta=10):
-    """Keep, per CALLCLASS, the call matching a true variant (or the best
-    scoring call if none match); assumes input sorted by LIKESCORE."""
-    variants_by_class = defaultdict(list)
-    calls = []
-    for varcall in variants:
-        if varcall.filterstr != 'PASS':
+    keep = []
+    groups = {}
+    for call in variants:
+        if call.filterstr != 'PASS':
             continue
-        callclass = varcall.attribute('CALLCLASS')
+        callclass = call.attribute('CALLCLASS')
         if callclass is None:
-            calls.append(varcall)
+            keep.append(call)
         else:
-            variants_by_class[callclass].append(varcall)
-
-    for callclass, calllist in variants_by_class.items():
-        nmatches = 0
-        match = None
-        for varcall in calllist:
-            hits = index.query(varcall.seqid, varcall.position, delta=delta)
-            if hits == set():
-                continue
-            nmatches += 1
-            if match is None:
-                match = varcall
-        if nmatches == 0:
-            calllist[0].annotate('EVAL', 'False')
-            calls.append(calllist[0])
-        else:
-            if nmatches > 1:
-                print('WARNING: found', nmatches, 'matches for CALLCLASS',
-                      callclass, file=sys.stderr)
-            match.annotate('EVAL', 'True')
-            calls.append(match)
-
-    calls.sort(key=lambda c: float(c.attribute('LIKESCORE')), reverse=True)
-    calls = [c for c in calls if float(c.attribute('LIKESCORE')) > 0.0]
-    return calls
+            groups.setdefault(callclass, []).append(call)
+    for callclass, calllist in groups.items():
+        keep.append(_reconcile_class(callclass, calllist, index, delta))
+    scored = [(float(c.attribute('LIKESCORE')), c) for c in keep]
+    scored.sort(key=lambda pair: pair[0], reverse=True)
+    return [c for score, c in scored if score > 0.0]

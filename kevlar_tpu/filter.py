@@ -1,13 +1,15 @@
 """``filter`` stage: re-count annotated k-mers to deflate FPR-inflated counts.
 
-Parity with /root/reference/kevlar/filter.py: pass 1 re-counts every annotated
-k-mer (skipping those in the reference-genome mask) into a fresh, much less
-loaded sketch; pass 2 drops annotations whose recount is below `casemin` or
-whose control abundance exceeds `ctrlmax`, and drops reads left with no
-annotations.
+The novel-read set is tiny compared to the raw samples, so re-counting its
+annotated k-mers into a fresh sketch gives near-exact case abundances; any
+annotation whose recount falls below ``casemin`` (or whose stored control
+abundance exceeds ``ctrlmax``) is dropped, and reads left bare are
+discarded. Contract: reference kevlar/filter.py:15-96 (mask k-mers are
+excluded from the recount; FPR bailout on the fresh sketch).
 
-Vectorised: all annotated k-mers across all reads are hashed and counted in
-bulk device batches instead of per-k-mer point calls.
+Both passes are columnar: annotated k-mers are hashed once per read block
+and counted/queried in fixed-size device batches (one compiled kernel),
+not per-k-mer point calls.
 """
 
 import numpy as np
@@ -18,71 +20,75 @@ from kevlar_tpu.sequence import KmerOfInterest
 from kevlar_tpu.sketch import Sketch, estimate_fpr, KevlarUnsuitableFPRError
 
 
-def _annotated_kmer_hashes(reads):
-    """Hash every annotated k-mer of every read; returns (h1, h2) arrays."""
-    h1s, h2s = [], []
-    for read in reads:
-        for ikmer in read.annotations:
-            h1, h2 = dna.hash_kmer(read.ikmerseq(ikmer))
-            h1s.append(h1)
-            h2s.append(h2)
-    return (np.array(h1s, dtype=np.uint32), np.array(h2s, dtype=np.uint32))
+def _hash_annotations(read):
+    """Hash each annotated k-mer of one read -> (h1, h2) uint32 arrays."""
+    pairs = [dna.hash_kmer(read.ikmerseq(ik)) for ik in read.annotations]
+    arr = np.array(pairs, dtype=np.uint32).reshape(len(pairs), 2)
+    return arr[:, 0], arr[:, 1]
+
+
+class _BlockCounter:
+    """Accumulates hash pairs and feeds them to the sketch in fixed-size
+    chunks so every flush reuses one compiled consume kernel."""
+
+    def __init__(self, counts, mask, chunk):
+        self.counts = counts
+        self.mask = mask
+        self.chunk = chunk
+        self._h1, self._h2 = [], []
+        self._pending = 0
+
+    def add(self, h1, h2):
+        self._h1.append(h1)
+        self._h2.append(h2)
+        self._pending += len(h1)
+        if self._pending >= self.chunk:
+            self.flush()
+
+    def flush(self):
+        if not self._h1:
+            return
+        h1 = np.concatenate(self._h1)
+        h2 = np.concatenate(self._h2)
+        self._h1, self._h2 = [], []
+        self._pending = 0
+        if self.mask is not None:
+            keep = self.mask._host_counts(h1, h2) == 0
+        else:
+            keep = np.ones(h1.shape, dtype=bool)
+        size = self.chunk
+        for lo in range(0, len(h1), size):
+            s1, s2, sk = h1[lo:lo + size], h2[lo:lo + size], keep[lo:lo + size]
+            short = size - len(s1)
+            if short:
+                s1 = np.concatenate([s1, np.zeros(short, np.uint32)])
+                s2 = np.concatenate([s2, np.ones(short, np.uint32)])
+                sk = np.concatenate([sk, np.zeros(short, bool)])
+            self.counts.consume_hashes(s1, s2, sk)
 
 
 def first_pass(reads, mask, memory, timer, chunk=1 << 16):
     kevlar_tpu.plog('[kevlar::filter] First pass: re-counting k-mers')
     timer.start('firstpass')
-    counts = None
-    ksize = None
-    n = 0
-    pend_h1, pend_h2 = [], []
-
-    def flush():
-        if not pend_h1:
-            return
-        h1 = np.concatenate(pend_h1)
-        h2 = np.concatenate(pend_h2)
-        if mask is not None:
-            mcnt = mask._host_counts(h1, h2)
-            keep = mcnt == 0
-        else:
-            keep = np.ones(h1.shape, dtype=bool)
-        # pad every slice to the fixed chunk size so all flushes share one
-        # compiled kernel (ragged sizes would otherwise recompile)
-        for start in range(0, len(h1), chunk):
-            s1 = h1[start:start + chunk]
-            s2 = h2[start:start + chunk]
-            sk = keep[start:start + chunk]
-            if len(s1) < chunk:
-                pad = chunk - len(s1)
-                s1 = np.concatenate([s1, np.zeros(pad, np.uint32)])
-                s2 = np.concatenate([s2, np.ones(pad, np.uint32)])
-                sk = np.concatenate([sk, np.zeros(pad, bool)])
-            counts.consume_hashes(s1, s2, sk)
-        pend_h1.clear()
-        pend_h2.clear()
-
-    npending = 0
-    for n, read in enumerate(reads, 1):
-        if len(read.annotations) == 0:
+    counter = None
+    nreads = 0
+    for nreads, read in enumerate(reads, 1):
+        if not read.annotations:
             continue
-        if counts is None:
+        if counter is None:
             ksize = read.annotations[0].ksize
-            counts = Sketch(ksize, int(memory) // 4, 4, counter_bits=8,
-                            backend='host')
-        h1, h2 = _annotated_kmer_hashes([read])
-        pend_h1.append(h1)
-        pend_h2.append(h2)
-        npending += len(h1)
-        if npending >= chunk:
-            flush()
-            npending = 0
-    if counts is not None:
-        flush()
-    elapsed = timer.stop('firstpass')
-    message = 'First pass complete! Processed {:d} reads in {:.2f} seconds!'
-    kevlar_tpu.plog('[kevlar::filter]', message.format(n, elapsed))
-    return counts
+            counter = _BlockCounter(
+                Sketch(ksize, int(memory) // 4, 4, counter_bits=8,
+                       backend='host'),
+                mask, chunk)
+        counter.add(*_hash_annotations(read))
+    if counter is not None:
+        counter.flush()
+    kevlar_tpu.plog(
+        '[kevlar::filter]',
+        'First pass complete! Processed {:d} reads in {:.2f} '
+        'seconds!'.format(nreads, timer.stop('firstpass')))
+    return counter.counts if counter else None
 
 
 def check_fpr(counts, maxfpr):
@@ -93,54 +99,57 @@ def check_fpr(counts, maxfpr):
         raise KevlarUnsuitableFPRError(message + ' FPR too high, bailing out!')
 
 
+def _revalidate(read, recounts, casemin, ctrlmax):
+    """Annotations surviving the recount, with refreshed case abundance."""
+    survivors = []
+    for ikmer, newcount in zip(read.annotations, recounts):
+        controls = ikmer.abund[1:]
+        if newcount < casemin or any(a > ctrlmax for a in controls):
+            continue
+        survivors.append(KmerOfInterest(
+            ikmer.ksize, ikmer.offset, (int(newcount),) + tuple(controls)))
+    return survivors
+
+
 def second_pass(reads, counts, casemin, ctrlmax, timer):
     kevlar_tpu.plog('[kevlar::filter] Second pass: discarding k-mers/reads')
     timer.start('secondpass')
     kept = 0
     for read in reads:
-        validated_kmers = []
-        for ikmer in read.annotations:
-            ctrltoohigh = any(a > ctrlmax for a in ikmer.abund[1:])
-            if ctrltoohigh:
-                continue
-            newcount = counts.get(read.ikmerseq(ikmer))
-            if newcount < casemin:
-                continue
-            newabund = tuple([newcount] + list(ikmer.abund[1:]))
-            validated_kmers.append(
-                KmerOfInterest(ikmer.ksize, ikmer.offset, newabund))
-        if len(validated_kmers) == 0:
-            continue
-        read.annotations = validated_kmers
-        yield read
-        kept += 1
-    elapsed = timer.stop('secondpass')
-    message = 'Second pass complete! Validated {:d} reads in {:.2f} seconds!'
-    kevlar_tpu.plog('[kevlar::filter]', message.format(kept, elapsed))
+        h1, h2 = _hash_annotations(read)
+        recounts = counts._host_counts(h1, h2)
+        survivors = _revalidate(read, recounts, casemin, ctrlmax)
+        if survivors:
+            read.annotations = survivors
+            kept += 1
+            yield read
+    kevlar_tpu.plog(
+        '[kevlar::filter]',
+        'Second pass complete! Validated {:d} reads in {:.2f} '
+        'seconds!'.format(kept, timer.stop('secondpass')))
 
 
 def filter(readfile, mask=None, memory=1e6, maxfpr=0.01, casemin=6, ctrlmax=1):
     timer = kevlar_tpu.Timer()
     timer.start()
-    reader = kevlar_tpu.parse_augmented_fastx(kevlar_tpu.open(readfile, 'r'))
-    counts = first_pass(reader, mask, memory, timer)
+    counts = first_pass(
+        kevlar_tpu.parse_augmented_fastx(kevlar_tpu.open(readfile, 'r')),
+        mask, memory, timer)
     if counts is None:
         return
     check_fpr(counts, maxfpr)
-    reader = kevlar_tpu.parse_augmented_fastx(kevlar_tpu.open(readfile, 'r'))
-    for read in second_pass(reader, counts, casemin, ctrlmax, timer):
-        yield read
-    total = timer.stop()
+    yield from second_pass(
+        kevlar_tpu.parse_augmented_fastx(kevlar_tpu.open(readfile, 'r')),
+        counts, casemin, ctrlmax, timer)
     kevlar_tpu.plog('[kevlar::filter] Total time: {:.2f} seconds'.format(
-        total))
+        timer.stop()))
 
 
 def main(args):
-    from kevlar_tpu import sketch as sketch_mod
-    mask = sketch_mod.load(args.mask) if args.mask else None
+    from kevlar_tpu import sketch
+    mask = sketch.load(args.mask) if args.mask else None
     outstream = kevlar_tpu.open(args.out, 'w')
-    filterstream = filter(
-        args.augfastq, mask=mask, memory=args.memory, maxfpr=args.max_fpr,
-        casemin=args.case_min, ctrlmax=args.ctrl_max)
-    for record in filterstream:
+    for record in filter(args.augfastq, mask=mask, memory=args.memory,
+                         maxfpr=args.max_fpr, casemin=args.case_min,
+                         ctrlmax=args.ctrl_max):
         kevlar_tpu.print_augmented_fastx(record, outstream)

@@ -1,8 +1,12 @@
 """``gentrio`` stage: simulate a trio with inherited and de novo variants.
 
-Parity with /root/reference/kevlar/gentrio.py: random SNV/ins/del with
-configurable weights, the 14 valid inheritance genotype scenarios, two
-haplotype FASTAs per individual, and a truth VCF.
+Generates random SNVs/insertions/deletions over a genome, assigns each an
+inheritance scenario (de novo variants are proband-het, parents hom-ref),
+writes two haplotype FASTAs per individual, and emits a truth VCF.
+Behavioral contract: reference kevlar/gentrio.py:38-257 — left-anchored
+VCF-style indel alleles, ±(k-1) REFR/ALT windows, the 14 Mendelian
+genotype-code scenarios, insertions sourced from a mutagenized copy of a
+random genome segment.
 """
 
 import random
@@ -12,13 +16,13 @@ import kevlar_tpu
 from kevlar_tpu.support import MutableString
 from kevlar_tpu.vcf import Variant
 
-nucl_to_index = {'A': 0, 'C': 1, 'G': 2, 'T': 3}
-index_to_nucl = {0: 'A', 1: 'C', 2: 'G', 3: 'T'}
+_BASES = 'ACGT'
 
 DWEIGHTS = {'snv': 0.8, 'ins': 0.1, 'del': 0.1}
 
-# (child, mother, father) genotype codes: 0=hom ref, 1=het, 2=hom alt;
-# only combinations consistent with Mendelian inheritance
+# (child, mother, father) genotype codes, 0=hom ref / 1=het / 2=hom alt;
+# exactly the combinations consistent with Mendelian inheritance where the
+# alt allele is present in at least one parent.
 inheritance_scenarios = [
     (0, 0, 1), (0, 1, 0), (0, 1, 1), (1, 0, 1), (1, 0, 2), (1, 1, 0),
     (1, 1, 1), (1, 1, 2), (1, 2, 0), (1, 2, 1), (2, 1, 1), (2, 1, 2),
@@ -26,203 +30,186 @@ inheritance_scenarios = [
 ]
 
 
+def _as_rng(spec):
+    """Normalize a seed spec (None / int / Random) to a Random instance."""
+    if isinstance(spec, random.Random):
+        return spec
+    if spec is None:
+        spec = random.randrange(sys.maxsize)
+        kevlar_tpu.plog('[kevlar::gentrio] using random seed', spec)
+    return random.Random(spec)
+
+
+def _rotate_base(base, turns):
+    return _BASES[(_BASES.index(base) + turns) % 4]
+
+
 def weighted_choice(values, weights, rng=random.Random()):
     assert len(values) == len(weights)
-    total = sum(weights)
-    r = rng.uniform(0, total)
-    cumsum = 0
-    for v, w in zip(values, weights):
-        if cumsum + w >= r:
-            return v
-        cumsum += w
-    raise AssertionError
+    return rng.choices(list(values), weights=list(weights), k=1)[0]
 
 
 def mutagenize(sequence, rng=None, rate=0.05):
-    mutseq = []
-    for nucl in sequence:
+    out = []
+    for base in sequence:
         if rng and rng.random() < rate:
-            offset = rng.choice([1, 2, 3])
-            nucl = index_to_nucl[(nucl_to_index[nucl] + offset) % 4]
-        mutseq.append(nucl)
-    return ''.join(mutseq)
+            base = _rotate_base(base, rng.choice([1, 2, 3]))
+        out.append(base)
+    return ''.join(out)
+
+
+def _window(sequence, lo, hi):
+    return sequence[max(lo, 0):min(hi, len(sequence))]
 
 
 def mutate_snv(sequence, position, offset, ksize=31):
-    orignucl = sequence[position]
-    newnucl = index_to_nucl[(nucl_to_index[orignucl] + offset) % 4]
-    windowstart = max(position - ksize + 1, 0)
-    windowend = min(position + ksize, len(sequence))
-    refrwindow = sequence[windowstart:windowend]
-    altwindow = (sequence[windowstart:position] + newnucl
-                 + sequence[position + 1:windowend])
-    return orignucl, newnucl, refrwindow, altwindow
+    refr = sequence[position]
+    alt = _rotate_base(refr, offset)
+    refrwindow = _window(sequence, position - ksize + 1, position + ksize)
+    altwindow = (_window(sequence, position - ksize + 1, position) + alt +
+                 _window(sequence, position + 1, position + ksize))
+    return refr, alt, refrwindow, altwindow
 
 
 def mutate_insertion(sequence, position, length, duplpos, rng=None, ksize=31):
-    duplseq = mutagenize(sequence[duplpos:duplpos + length], rng, rate=0.05)
-    refrseq = sequence[position - 1]
-    altseq = refrseq + duplseq
-    windowstart = max(position - ksize + 1, 0)
-    windowend = min(position + ksize - 1, len(sequence))
-    refrwindow = sequence[windowstart:windowend]
-    altwindow = (sequence[windowstart:position] + duplseq
-                 + sequence[position:windowend])
-    return refrseq, altseq, refrwindow, altwindow
+    insseq = mutagenize(sequence[duplpos:duplpos + length], rng, rate=0.05)
+    anchor = sequence[position - 1]
+    refrwindow = _window(sequence, position - ksize + 1, position + ksize - 1)
+    altwindow = (_window(sequence, position - ksize + 1, position) + insseq +
+                 _window(sequence, position, position + ksize - 1))
+    return anchor, anchor + insseq, refrwindow, altwindow
 
 
 def mutate_deletion(sequence, position, length, ksize=31):
-    delseq = sequence[position:position + length]
-    altseq = sequence[position - 1]
-    refrseq = altseq + delseq
-    windowstart = max(position - ksize + 1, 0)
-    windowend = min(position + length + ksize - 1, len(sequence))
-    refrwindow = sequence[windowstart:windowend]
-    altwindow = (sequence[windowstart:position]
-                 + sequence[position + length:windowend])
-    return refrseq, altseq, refrwindow, altwindow
+    anchor = sequence[position - 1]
+    gone = sequence[position:position + length]
+    refrwindow = _window(sequence, position - ksize + 1,
+                         position + length + ksize - 1)
+    altwindow = (_window(sequence, position - ksize + 1, position) +
+                 _window(sequence, position + length,
+                         position + length + ksize - 1))
+    return anchor + gone, anchor, refrwindow, altwindow
+
+
+def _random_variant(sequences, rng, weights, ksize):
+    seqid = rng.choice(sorted(sequences.keys()))
+    seq = sequences[seqid]
+    position = rng.randint(0, len(seq) - 1)
+    kinds = sorted(weights.keys())
+    kind = weighted_choice(kinds, [weights[k] for k in kinds], rng)
+    if kind == 'snv':
+        alleles = mutate_snv(seq, position, rng.randint(1, 3), ksize)
+    elif kind == 'ins':
+        span = rng.randint(5, 350)
+        source = rng.randint(0, len(seq))
+        alleles = mutate_insertion(seq, position, span, source, rng, ksize)
+    elif kind == 'del':
+        alleles = mutate_deletion(seq, position, rng.randint(5, 350), ksize)
+    else:
+        raise ValueError('unknown mutation type {}'.format(kind))
+    refr, alt, refrwindow, altwindow = alleles
+    return Variant(seqid, position, refr, alt, ALTWINDOW=altwindow,
+                   REFRWINDOW=refrwindow)
 
 
 def generate_mutations(sequences, n=10, ksize=31, weights=DWEIGHTS, rng=None):
-    if rng is None:
-        seed = random.randrange(sys.maxsize)
-        kevlar_tpu.plog('[kevlar::gentrio] using random seed', seed)
-        rng = random.Random(seed)
-    if isinstance(rng, int):
-        rng = random.Random(rng)
-    weightkeys = sorted(weights.keys())
-    weightvalues = [weights[k] for k in weightkeys]
+    rng = _as_rng(rng)
     for _ in range(n):
-        seqid = rng.choice(sorted(sequences.keys()))
-        seq = sequences[seqid]
-        seqlength = len(seq)
-        position = rng.randint(0, seqlength - 1)
-        muttype = weighted_choice(weightkeys, weightvalues, rng)
-        if muttype == 'snv':
-            offset = rng.randint(1, 3)
-            refrseq, altseq, refrwindow, altwindow = mutate_snv(
-                seq, position, offset, ksize)
-        elif muttype == 'ins':
-            length = rng.randint(5, 350)
-            duplpos = rng.randint(0, seqlength)
-            refrseq, altseq, refrwindow, altwindow = mutate_insertion(
-                seq, position, length, duplpos, rng, ksize)
-        elif muttype == 'del':
-            length = rng.randint(5, 350)
-            refrseq, altseq, refrwindow, altwindow = mutate_deletion(
-                seq, position, length, ksize)
-        else:
-            raise ValueError('unknown mutation type {}'.format(muttype))
-        yield Variant(seqid, position, refrseq, altseq, ALTWINDOW=altwindow,
-                      REFRWINDOW=refrwindow)
+        yield _random_variant(sequences, rng, weights, ksize)
 
 
 def pick_inheritance_genotypes(rng):
-    genotype_codes = rng.choice(inheritance_scenarios)
-    genotypes = []
-    for code in genotype_codes:
-        if code == 0:
-            genotype = '0/0'
-        elif code == 2:
-            genotype = '1/1'
-        else:
-            genotype = rng.choice(['0/1', '1/0'])
-        genotypes.append(genotype)
-    return tuple(genotypes)
+    codes = rng.choice(inheritance_scenarios)
+    return tuple(
+        '0/0' if code == 0 else
+        '1/1' if code == 2 else
+        rng.choice(['0/1', '1/0'])
+        for code in codes
+    )
 
 
 def simulate_variant_genotypes(sequences, ninh=20, ndenovo=10,
                                weights=DWEIGHTS, rng=None):
-    if rng is None:
-        seed = random.randrange(sys.maxsize)
-        kevlar_tpu.plog('[kevlar::gentrio] using random seed', seed)
-        rng = random.Random(seed)
-    if isinstance(rng, int):
-        rng = random.Random(rng)
-
+    rng = _as_rng(rng)
     for variant in generate_mutations(sequences, n=ninh, weights=weights,
                                       rng=rng):
         variant.annotate('GT', ','.join(pick_inheritance_genotypes(rng)))
         yield variant
     for variant in generate_mutations(sequences, n=ndenovo, weights=weights,
                                       rng=rng):
-        genotypes = (rng.choice(['0/1', '1/0']), '0/0', '0/0')
-        variant.annotate('GT', ','.join(genotypes))
+        denovo_gt = (rng.choice(['0/1', '1/0']), '0/0', '0/0')
+        variant.annotate('GT', ','.join(denovo_gt))
         yield variant
 
 
 def apply_mutation(sequence, position, refr, alt):
-    if len(refr) == len(alt):  # SNV
+    """Edit ``sequence`` (a MutableString) in place."""
+    if len(refr) == len(alt):
         assert sequence[position] == refr
         sequence[position] = alt
-    elif len(refr) < len(alt):  # Insertion
+    elif len(refr) < len(alt):
         sequence[position:position] = alt[1:]
-    else:  # Deletion
-        dellength = len(refr) - len(alt)
-        del sequence[position:position + dellength]
+    else:
+        del sequence[position:position + len(refr) - len(alt)]
 
 
 def weights_str_to_dict(wstring):
-    weights = {}
-    for keyvaluepair in wstring.split(','):
-        muttype, relfreq = keyvaluepair.split('=')
-        weights[muttype] = float(relfreq)
-    total = sum(weights.values())
-    return {t: (v / total) for t, v in weights.items()}
+    raw = dict(pair.split('=') for pair in wstring.split(','))
+    total = sum(float(v) for v in raw.values())
+    return {kind: float(v) / total for kind, v in raw.items()}
+
+
+def _haplotype_pair(sequence, seqid, variants, individual):
+    """Both haplotypes of one individual for one chromosome."""
+    haplos = (MutableString(sequence), MutableString(sequence))
+    for variant in variants:
+        if variant.seqid != seqid:
+            continue
+        genotype = variant.genotypes[individual]
+        for hap, allele in zip(haplos, (genotype[0], genotype[2])):
+            if allele != '0':
+                apply_mutation(hap, variant.position, variant._refr,
+                               variant._alt)
+    return haplos
 
 
 def gentrio(sequences, outstreams, ninh=20, ndenovo=10, weights=DWEIGHTS,
             seed=None, upint=100, logstream=sys.stderr):
     assert len(outstreams) == 3
-    mutator = simulate_variant_genotypes(
-        sequences, ninh=ninh, ndenovo=ndenovo, weights=weights, rng=seed)
-    variants = list(mutator)
+    variants = list(simulate_variant_genotypes(
+        sequences, ninh=ninh, ndenovo=ndenovo, weights=weights, rng=seed))
+    # apply bottom-up so positions stay valid through indel edits
     variants.sort(key=lambda v: v.position, reverse=True)
 
     for seqid, sequence in sequences.items():
-        for ind in range(3):  # proband mother father
-            haploseqs = [MutableString(sequence), MutableString(sequence)]
-            for variant in variants:
-                if variant.seqid != seqid:
-                    continue
-                genotype = variant.genotypes[ind]
-                haplotypes = (genotype[0], genotype[2])
-                for hapindex in range(2):
-                    if haplotypes[hapindex] == '0':
-                        continue
-                    apply_mutation(
-                        haploseqs[hapindex], variant.position,
-                        variant._refr, variant._alt)
-            print('>', seqid, '_haplo1\n', haploseqs[0], sep='',
-                  file=outstreams[ind])
-            print('>', seqid, '_haplo2\n', haploseqs[1], sep='',
-                  file=outstreams[ind])
+        for individual, stream in enumerate(outstreams):
+            haplos = _haplotype_pair(sequence, seqid, variants, individual)
+            for hapnum, hap in enumerate(haplos, 1):
+                print('>', seqid, '_haplo', hapnum, '\n', hap, sep='',
+                      file=stream)
 
     variants.sort(key=lambda v: (v.seqid, v.position))
-    for variant in variants:
-        yield variant
+    yield from variants
 
 
 def main(args):
     from kevlar_tpu import seqio
-    seqfile = kevlar_tpu.open(args.genome, 'r')
-    genomeseqs = seqio.parse_seq_dict(seqfile)
+    genomeseqs = seqio.parse_seq_dict(kevlar_tpu.open(args.genome, 'r'))
 
-    samples = ('proband', 'mother', 'father')
-    outfiles = ['{:s}-{:s}.fasta'.format(args.prefix, s) for s in samples]
-    outstreams = [kevlar_tpu.open(outfile, 'w') for outfile in outfiles]
-
+    outstreams = [
+        kevlar_tpu.open('{:s}-{:s}.fasta'.format(args.prefix, person), 'w')
+        for person in ('proband', 'mother', 'father')
+    ]
     vcfout = None
     if args.vcf:
         vcfout = kevlar_tpu.open(args.vcf, 'w')
         kevlar_tpu.vcf_header(vcfout, source='kevlar::gentrio',
                               infoheader=True)
-    weights = weights_str_to_dict(args.weights)
-    mutator = gentrio(
-        genomeseqs, outstreams, ninh=args.inherited, ndenovo=args.de_novo,
-        weights=weights, seed=args.seed)
-    for variant in mutator:
+    for variant in gentrio(genomeseqs, outstreams, ninh=args.inherited,
+                           ndenovo=args.de_novo,
+                           weights=weights_str_to_dict(args.weights),
+                           seed=args.seed):
         if vcfout:
             print(variant.vcf, file=vcfout)
-    for outstream in outstreams:
-        outstream.close()
+    for stream in outstreams:
+        stream.close()

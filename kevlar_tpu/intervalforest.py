@@ -1,10 +1,11 @@
-"""Labeled interval trees (per-chromosome) with delta-extended queries.
+"""Labeled interval index (per-chromosome) with slop-extended queries.
 
-Replaces the reference's `intervaltree` dependency with a sorted-array +
-bisect implementation (intervals are loaded once, queried many times).
-Query semantics parity with /root/reference/kevlar/intervalforest.py:
-half-open intervals; point queries return intervals containing the point;
-range queries return intervals overlapping [start, end).
+Replaces the reference's `intervaltree` dependency (contract:
+kevlar/intervalforest.py:14-68) with a build-once/query-many structure:
+per label, intervals sorted by start with a running max-end array, so a
+stabbing/overlap query is one bisect plus a bounded backward sweep.
+Intervals are half-open; a point query returns the intervals containing
+the point; a range query returns the intervals overlapping [start, end).
 """
 
 from bisect import bisect_right
@@ -31,41 +32,37 @@ class Interval:
                                                self.data)
 
 
-class _Tree:
-    """Interval set over one label; O(log n + k) stabbing via sorted starts
-    and a max-end sweep."""
+class _SweepIndex:
+    """Intervals under one label: sorted starts + running max of ends."""
 
     def __init__(self):
         self.intervals = []
-        self._sorted = None
+        self._starts = None
 
     def add(self, interval):
         self.intervals.append(interval)
-        self._sorted = None
+        self._starts = None
 
-    def _ensure(self):
-        if self._sorted is None:
-            self._sorted = sorted(self.intervals, key=lambda iv: iv.begin)
-            self._starts = [iv.begin for iv in self._sorted]
-            # running max of ends for early termination
-            self._maxend = []
-            m = float('-inf')
-            for iv in self._sorted:
-                m = max(m, iv.end)
-                self._maxend.append(m)
+    def _build(self):
+        self.intervals.sort(key=lambda iv: iv.begin)
+        self._starts = [iv.begin for iv in self.intervals]
+        self._reach = []
+        furthest = float('-inf')
+        for iv in self.intervals:
+            furthest = max(furthest, iv.end)
+            self._reach.append(furthest)
 
-    def query(self, start, end):
-        """All intervals overlapping [start, end) (end > start)."""
-        self._ensure()
-        hits = set()
-        hi = bisect_right(self._starts, end - 1)
-        for idx in range(hi - 1, -1, -1):
-            iv = self._sorted[idx]
-            if self._maxend[idx] <= start:
-                break
-            if iv.end > start:
-                hits.add(iv)
-        return hits
+    def overlapping(self, start, end):
+        """All intervals overlapping [start, end), end > start."""
+        if self._starts is None:
+            self._build()
+        found = set()
+        idx = bisect_right(self._starts, end - 1) - 1
+        while idx >= 0 and self._reach[idx] > start:
+            if self.intervals[idx].end > start:
+                found.add(self.intervals[idx])
+            idx -= 1
+        return found
 
     def __len__(self):
         return len(self.intervals)
@@ -75,48 +72,46 @@ class _Tree:
 
 
 class IntervalForest:
-    """Single point of access for a labeled set of interval trees.
+    """Single point of access for a labeled set of interval indexes.
 
-    >>> index = IntervalForest()
-    >>> index.insert('chr17', 238026, 238046)
-    >>> index.insert('chr17', 1533596, 1533597, 'C->A')
-    >>> sorted(iv.data for iv in index.query('chr17', 1533500, 1533700))
+    >>> forest = IntervalForest()
+    >>> forest.insert('chr17', 238026, 238046)
+    >>> forest.insert('chr17', 1533596, 1533597, 'C->A')
+    >>> sorted(iv.data for iv in forest.query('chr17', 1533500, 1533700))
     ['C->A']
-    >>> index.query('chr17', 238006)
+    >>> forest.query('chr17', 238006)
     set()
-    >>> sorted(iv.data for iv in index.query('chr17', 238006, delta=30))
+    >>> sorted(iv.data for iv in forest.query('chr17', 238006, delta=30))
     ['chr17:238026-238046']
-    >>> index.query('chr4', 1533500, 1533700)
+    >>> forest.query('chr4', 1533500, 1533700)
     set()
     """
 
     def __init__(self):
-        self.trees = defaultdict(_Tree)
+        self.trees = defaultdict(_SweepIndex)
 
     def __len__(self):
-        return sum(len(tree) for tree in self.trees.values())
+        return sum(len(index) for index in self.trees.values())
 
     def __iter__(self):
-        for label, tree in self.trees.items():
-            for interval in tree:
+        for index in self.trees.values():
+            for interval in index:
                 yield interval.data
 
     def insert(self, label, start, end, data=None):
         assert label is not None
-        if data is None:
-            data = '{:s}:{:d}-{:d}'.format(label, start, end)
-        self.trees[label].add(Interval(start, end, data))
+        payload = data
+        if payload is None:
+            payload = '{:s}:{:d}-{:d}'.format(label, start, end)
+        self.trees[label].add(Interval(start, end, payload))
 
     def query(self, label, start, end=None, delta=0):
         if label not in self.trees:
             return set()
+        lo, hi = start, end
         if delta > 0:
-            if end:
-                end += delta
-            else:
-                end = start + delta
-            start -= delta
-        if end is None:
-            # point query: intervals containing `start`
-            return self.trees[label].query(start, start + 1)
-        return self.trees[label].query(start, end)
+            hi = (hi + delta) if hi else (lo + delta)
+            lo -= delta
+        if hi is None:
+            hi = lo + 1  # stab: intervals containing the point
+        return self.trees[label].overlapping(lo, hi)

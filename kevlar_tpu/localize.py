@@ -1,11 +1,13 @@
 """``localize`` stage: map contigs to reference target cutouts via seeds.
 
-Parity with /root/reference/kevlar/localize.py, with the BWA subprocess
-replaced by the native exact seed index (:mod:`kevlar_tpu.reference`):
-contigs are decomposed into canonical seeds (default 51 bp), matched exactly
-against the genome, seed positions are clustered per partition (clusters
-split at gaps > maxdiff, default 3x the longest contig), and each cluster's
-span ±delta becomes a reference cutout with defline ``seqid_start-end``.
+Contigs are decomposed into canonical seeds (default 51 bp) which are
+matched exactly against the genome by the device seed index
+(:mod:`kevlar_tpu.reference` — the BWA-subprocess replacement); per
+partition, match positions cluster into loci (split where adjacent seeds
+are further apart than ``maxdiff``, default 3x the longest contig), and
+each cluster's span ±delta is excised as a reference cutout with defline
+``seqid_start-end``. Contract: reference kevlar/localize.py:24-224,
+pinned by tests/test_reference_parity_units.py.
 """
 
 from collections import defaultdict
@@ -20,62 +22,72 @@ class KevlarRefrSeqNotFoundError(ValueError):
     pass
 
 
+def _split_at_gaps(positions, gap):
+    """Split sorted positions into runs where adjacent spacing <= gap.
+
+    Quirk kept from the reference (localize.py:168-170): a leading match at
+    position 0 never triggers a split against its successor.
+    """
+    run = []
+    prev = None
+    for pos in positions:
+        if prev and pos - prev > gap:
+            yield run
+            run = []
+        run.append(pos)
+        prev = pos
+    yield run
+
+
 class Localizer:
+    """Accumulates seed match positions, then excises clustered cutouts."""
+
     def __init__(self, seedsize, incl=None, excl=None):
-        self._positions = defaultdict(list)
-        self._seedsize = seedsize
+        self._hits = defaultdict(list)
+        self.seedsize = seedsize
         self.inclpattern = incl
         self.exclpattern = excl
 
-    def __len__(self):
-        return sum(len(self._positions[s]) for s in self._positions
-                   if not self.ignore_seqid(s))
-
-    def ignore_seqid(self, seqid):
-        include = True
-        exclude = False
-        if self.inclpattern:
-            include = re.search(self.inclpattern, seqid) is not None
-        if self.exclpattern:
-            exclude = re.search(self.exclpattern, seqid) is not None
-        return exclude or not include
-
     def add_seed_match(self, seqid, pos):
-        self._positions[seqid].append(pos)
+        self._hits[seqid].append(pos)
+
+    def _admit(self, seqid):
+        if self.exclpattern and re.search(self.exclpattern, seqid):
+            return False
+        if self.inclpattern:
+            return re.search(self.inclpattern, seqid) is not None
+        return True
+
+    # kept under the reference's name for parity with its API
+    def ignore_seqid(self, seqid):
+        return not self._admit(seqid)
+
+    def __len__(self):
+        return sum(len(hits) for seqid, hits in self._hits.items()
+                   if self._admit(seqid))
+
+    def _excise(self, seqid, cluster, refrseqs, delta):
+        lo = max(cluster[0] - delta, 0)
+        hi = cluster[-1] + self.seedsize + delta
+        subseq = None
+        if refrseqs:
+            hi = min(hi, len(refrseqs[seqid]))
+            subseq = refrseqs[seqid][lo:hi]
+        return ReferenceCutout('{:s}_{:d}-{:d}'.format(seqid, lo, hi),
+                               subseq)
 
     def get_cutouts(self, refrseqs=None, delta=0, clusterdist=1000):
-        for seqid in sorted(self._positions):
-            if self.ignore_seqid(seqid):
+        for seqid in sorted(self._hits):
+            if not self._admit(seqid):
                 continue
-            matchpos = sorted(self._positions[seqid])
-            assert len(matchpos) > 0
             if refrseqs and seqid not in refrseqs:
                 raise KevlarRefrSeqNotFoundError(seqid)
-
-            def new_cutout(cluster):
-                startpos = max(cluster[0] - delta, 0)
-                endpos = cluster[-1] + self._seedsize + delta
-                subseq = None
-                if refrseqs:
-                    endpos = min(endpos, len(refrseqs[seqid]))
-                    subseq = refrseqs[seqid][startpos:endpos]
-                defline = '{:s}_{:d}-{:d}'.format(seqid, startpos, endpos)
-                return ReferenceCutout(defline, subseq)
-
+            positions = sorted(self._hits[seqid])
             if not clusterdist:
-                yield new_cutout(matchpos)
+                yield self._excise(seqid, positions, refrseqs, delta)
                 continue
-
-            cluster = []
-            prevpos = None
-            for nextpos in matchpos:
-                if prevpos:
-                    if nextpos - prevpos > clusterdist:
-                        yield new_cutout(cluster)
-                        cluster = []
-                cluster.append(nextpos)
-                prevpos = nextpos
-            yield new_cutout(cluster)
+            for run in _split_at_gaps(positions, clusterdist):
+                yield self._excise(seqid, run, refrseqs, delta)
 
 
 def decompose_seeds(seq, seedsize):
@@ -85,92 +97,80 @@ def decompose_seeds(seq, seedsize):
 
 def unique_seeds(partitions, seedsize=51):
     """Canonical seed set over all contigs of all partitions."""
-    seeds = set()
-    for partition in partitions:
-        for contig in partition:
-            for seed in decompose_seeds(contig.sequence, seedsize):
-                seeds.add(kevlar_tpu.revcommin(seed))
-    return seeds
+    return {
+        kevlar_tpu.revcommin(seed)
+        for contigs in partitions
+        for contig in contigs
+        for seed in decompose_seeds(contig.sequence, seedsize)
+    }
 
 
 def get_seed_matches(seeds, refrseqs, seedsize=51):
     """Exact genomic matches for canonical seeds: {seed: {(seqid, pos)}}."""
     kevlar_tpu.plog('[kevlar::localize] computing seed matches')
-    index = SeedIndex(refrseqs, seedsize)
-    seed_matches = index.lookup(seeds)
+    matches = SeedIndex(refrseqs, seedsize).lookup(seeds)
     kevlar_tpu.plog('[kevlar::localize] found positions for '
-                    '{} seeds'.format(len(seed_matches)))
-    return seed_matches
+                    '{} seeds'.format(len(matches)))
+    return matches
 
 
 def cutout(contigs, refrseqs, seed_matches, seedsize=51, delta=50,
            maxdiff=None, inclpattern=None, exclpattern=None, debug=False):
-    """Compute reference target cutouts for one partition's contigs."""
-    localizer = Localizer(seedsize, incl=inclpattern, excl=exclpattern)
+    """Reference target cutouts for one partition's contigs."""
+    loci = Localizer(seedsize, incl=inclpattern, excl=exclpattern)
     for contig in contigs:
         for seed in decompose_seeds(contig.sequence, seedsize):
-            seed = kevlar_tpu.revcommin(seed)
-            if seed not in seed_matches:
-                continue
-            for seqid, position in seed_matches[seed]:
-                localizer.add_seed_match(seqid, position)
+            for seqid, position in seed_matches.get(
+                    kevlar_tpu.revcommin(seed), ()):
+                loci.add_seed_match(seqid, position)
     if maxdiff is None:
-        maxcontiglen = max(len(c.sequence) for c in contigs)
-        maxdiff = maxcontiglen * 3
-    cutter = localizer.get_cutouts(refrseqs=refrseqs, delta=delta,
-                                   clusterdist=maxdiff)
-    for gdna in cutter:
-        yield gdna
+        maxdiff = 3 * max(len(c.sequence) for c in contigs)
+    yield from loci.get_cutouts(refrseqs=refrseqs, delta=delta,
+                                clusterdist=maxdiff)
 
 
 def localize(partstream, refrfile, seedsize=51, delta=50, maxdiff=None,
              inclpattern=None, exclpattern=None, debug=False):
-    """Generator wrapper for the reference target cutout procedure."""
+    """Stream (partid, cutout) pairs for a partitioned contig stream."""
     partdata = list(partstream)
-    partitions = [part for partid, part in partdata]
     kevlar_tpu.plog('[kevlar::localize] loaded {} read partitions into '
-                    'memory'.format(len(partitions)))
+                    'memory'.format(len(partdata)))
 
-    seeds = unique_seeds(partitions, seedsize)
+    seeds = unique_seeds((contigs for _, contigs in partdata), seedsize)
     kevlar_tpu.plog('[kevlar::localize] contigs decomposed into '
                     '{} seeds'.format(len(seeds)))
 
     kevlar_tpu.plog('[kevlar::localize] loading reference sequences')
     refrseqs = seqio.parse_seq_dict(kevlar_tpu.open(refrfile, 'r'))
     seed_matches = get_seed_matches(seeds, refrseqs, seedsize=seedsize)
-    if len(seed_matches) == 0:
+    if not seed_matches:
         kevlar_tpu.plog('[kevlar::localize] WARNING: no reference matches')
         return
 
-    ncutouts = 0
-    for partid, contiglist in partdata:
-        cutter = cutout(
-            contiglist, refrseqs, seed_matches, seedsize=seedsize,
-            delta=delta, maxdiff=maxdiff, inclpattern=inclpattern,
-            exclpattern=exclpattern)
-        for gdna in cutter:
-            ncutouts += 1
+    total = 0
+    for partid, contigs in partdata:
+        for gdna in cutout(contigs, refrseqs, seed_matches,
+                           seedsize=seedsize, delta=delta, maxdiff=maxdiff,
+                           inclpattern=inclpattern, exclpattern=exclpattern):
+            total += 1
             yield partid, gdna
-    if ncutouts == 0:
+    if total == 0:
         kevlar_tpu.plog('[kevlar::localize] WARNING: no reference matches')
-        return
 
 
 def main(args):
+    from kevlar_tpu.sequence import Record, write_record
     contigstream = seqio.afxstream(args.contigs)
     if args.part_id:
         pstream = seqio.parse_single_partition(contigstream, args.part_id)
     else:
         pstream = seqio.parse_partitioned_reads(contigstream)
     outstream = kevlar_tpu.open(args.out, 'w')
-    localizer = localize(
-        pstream, args.refr, seedsize=args.seed_size, delta=args.delta,
-        maxdiff=args.max_diff, inclpattern=args.include,
-        exclpattern=args.exclude)
-    from kevlar_tpu import sequence
-    for part, gdna in localizer:
+    for part, gdna in localize(pstream, args.refr, seedsize=args.seed_size,
+                               delta=args.delta, maxdiff=args.max_diff,
+                               inclpattern=args.include,
+                               exclpattern=args.exclude):
         seqname = gdna.defline
         if part is not None:
             seqname += ' kvcc={}'.format(part)
-        record = sequence.Record(name=seqname, sequence=gdna.sequence)
-        sequence.write_record(record, outstream)
+        write_record(Record(name=seqname, sequence=gdna.sequence), outstream)

@@ -1,63 +1,45 @@
-"""``mutate`` stage: apply an explicit mutation table to a genome."""
+"""``mutate`` stage: apply an explicit mutation table to a genome.
+
+The table is whitespace-delimited ``seqid pos type data`` rows (types snv /
+ins / del / inv; contract: reference kevlar/mutate.py:41-106). SNV data is
+a base rotation count through the A→C→G→T cycle; per sequence, mutations
+apply in descending-position order so earlier edits don't shift later
+coordinates.
+"""
 
 from collections import defaultdict, namedtuple
 
 import kevlar_tpu
-from kevlar_tpu.sequence import Record, write_record, parse_augmented_fastx
+from kevlar_tpu.sequence import Record, parse_augmented_fastx, write_record
 
 Mutation = namedtuple('Mutation', 'seq pos type data')
-char_to_index = {'A': 0, 'C': 1, 'G': 2, 'T': 3}
-index_to_char = {0: 'A', 1: 'C', 2: 'G', 3: 'T'}
 
-
-def load_mutations(instream, logstream=None):
-    mutations = defaultdict(list)
-    count = 0
-    for line in instream:
-        if line.startswith('#') or line.strip() == '':
-            continue
-        try:
-            sequence, offset, vartype, data = line.strip().split()
-        except ValueError:
-            raise ValueError('error parsing mutation: ' + line)
-        if vartype not in ['snv', 'ins', 'del', 'inv']:
-            raise ValueError('invalid variant type "{:s}"'.format(vartype))
-        mutations[sequence].append(
-            Mutation(seq=sequence, pos=int(offset), type=vartype, data=data))
-        count += 1
-    kevlar_tpu.plog('    loaded {:d} mutations on {:d} sequences'.format(
-        count, len(mutations)))
-    return mutations
+_BASES = 'ACGT'
 
 
 def mutate_snv(sequence, mutation):
-    refrbase = sequence[mutation.pos]
-    newindex = (char_to_index[refrbase] + int(mutation.data)) % 4
-    newbase = index_to_char[newindex]
-    return sequence[:mutation.pos] + newbase + sequence[mutation.pos + 1:]
+    at = mutation.pos
+    rotated = _BASES[(_BASES.index(sequence[at]) + int(mutation.data)) % 4]
+    return ''.join((sequence[:at], rotated, sequence[at + 1:]))
 
 
 def mutate_insertion(sequence, mutation):
-    return sequence[:mutation.pos] + mutation.data + sequence[mutation.pos:]
+    at = mutation.pos
+    return ''.join((sequence[:at], mutation.data, sequence[at:]))
 
 
 def mutate_deletion(sequence, mutation):
-    del_length = int(mutation.data)
-    return sequence[:mutation.pos] + sequence[mutation.pos + del_length:]
+    at = mutation.pos
+    return sequence[:at] + sequence[at + int(mutation.data):]
 
 
 def mutate_inversion(sequence, mutation):
-    inv_length = int(mutation.data)
-    prefix = sequence[:mutation.pos]
-    suffix = sequence[mutation.pos + inv_length:]
-    if mutation.pos == 0:
-        invseq = sequence[mutation.pos + inv_length - 1::-1]
-    else:
-        invseq = sequence[mutation.pos + inv_length - 1:mutation.pos - 1:-1]
-    return prefix + invseq + suffix
+    at, span = mutation.pos, int(mutation.data)
+    flipped = sequence[at:at + span][::-1]
+    return ''.join((sequence[:at], flipped, sequence[at + span:]))
 
 
-mutation_functions = {
+_APPLY = {
     'snv': mutate_snv,
     'ins': mutate_insertion,
     'del': mutate_deletion,
@@ -65,21 +47,40 @@ mutation_functions = {
 }
 
 
+def load_mutations(instream, logstream=None):
+    table = defaultdict(list)
+    total = 0
+    for line in instream:
+        row = line.strip()
+        if not row or row.startswith('#'):
+            continue
+        fields = row.split()
+        if len(fields) != 4:
+            raise ValueError('error parsing mutation: ' + line)
+        seqid, pos, vartype, data = fields
+        if vartype not in _APPLY:
+            raise ValueError('invalid variant type "{:s}"'.format(vartype))
+        table[seqid].append(Mutation(seqid, int(pos), vartype, data))
+        total += 1
+    kevlar_tpu.plog('    loaded {:d} mutations on {:d} sequences'.format(
+        total, len(table)))
+    return table
+
+
 def mutate_sequence(sequence, mutlist):
     for mutation in mutlist:
-        sequence = mutation_functions[mutation.type](sequence, mutation)
+        sequence = _APPLY[mutation.type](sequence, mutation)
     return sequence
 
 
 def mutate_genome(infile, mutations):
-    parser = parse_augmented_fastx(kevlar_tpu.open(infile, 'r'))
-    for record in parser:
-        sequence = record.sequence
-        if record.name in mutations:
-            mutlist = sorted(mutations[record.name], key=lambda m: m.pos,
-                             reverse=True)
-            sequence = mutate_sequence(sequence, mutlist)
-        yield Record(name=record.name, sequence=sequence)
+    for record in parse_augmented_fastx(kevlar_tpu.open(infile, 'r')):
+        seq = record.sequence
+        todo = mutations.get(record.name)
+        if todo:
+            seq = mutate_sequence(
+                seq, sorted(todo, key=lambda m: m.pos, reverse=True))
+        yield Record(name=record.name, sequence=seq)
 
 
 def main(args):

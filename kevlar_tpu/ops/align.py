@@ -323,3 +323,61 @@ def align_both_strands(target_seq, query_seq, match=1, mismatch=2, gapopen=5,
     if score2 > score1:
         return score2, cigar2, -1
     return score1, cigar1, 1
+
+
+def _use_device_batch():
+    """Whether batched alignments should go through the device engine.
+
+    ``KEVLAR_ALIGN_BACKEND=device|pallas`` forces it; ``native``, ``numpy``
+    or ``scalar`` force the host loop; unset/auto uses the device whenever
+    the default jax backend is a real accelerator (the call stage's
+    contig x cutout DP is the pipeline's compute-heaviest loop, reference
+    src/align.c:58-68).
+    """
+    import os
+    choice = os.environ.get('KEVLAR_ALIGN_BACKEND', '').lower()
+    if choice in ('device', 'pallas'):
+        return True, choice
+    if choice in ('native', 'numpy', 'scalar'):
+        return False, choice
+    try:
+        import jax
+        return jax.default_backend() not in ('cpu',), 'device'
+    except Exception:
+        return False, 'native'
+
+
+def align_both_strands_batch(pairs, match=1, mismatch=2, gapopen=5,
+                             gapextend=0):
+    """Both-strand alignment of many (target, query) pairs.
+
+    Returns ``[(score, cigar, strand), ...]`` in input order. On an
+    accelerator backend, forward and reverse-complement alignments of every
+    pair go to the batched wavefront engine as one size-bucketed dispatch;
+    on host backends this loops the per-pair aligner.
+    """
+    if not pairs:
+        return []
+    on_device, engine = _use_device_batch()
+    if not on_device:
+        return [align_both_strands(t, q, match, mismatch, gapopen, gapextend)
+                for t, q in pairs]
+    from kevlar_tpu.dna import revcom
+    if engine == 'pallas':
+        from kevlar_tpu.ops.align_pallas import align_batch_pallas as batch
+    else:
+        from kevlar_tpu.ops.align_ops import align_batch as batch
+    targets, queries = [], []
+    for t, q in pairs:
+        targets += [t, t]
+        queries += [q, revcom(q)]
+    flat = batch(targets, queries, match=match, mismatch=mismatch,
+                 gapopen=gapopen, gapextend=gapextend)
+    picked = []
+    for (fwd_cigar, fwd_score), (rev_cigar, rev_score) in zip(flat[::2],
+                                                              flat[1::2]):
+        if rev_score > fwd_score:
+            picked.append((rev_score, rev_cigar, -1))
+        else:
+            picked.append((fwd_score, fwd_cigar, 1))
+    return picked

@@ -86,20 +86,18 @@ def seed_ranges(hi_keys, lo_keys, qhi, qlo):
     return left, right - left
 
 
-def seed_ranges_sharded(mesh, hi_keys, lo_keys, qhi, qlo, n_valid, base):
-    """Match ranges against a 'shard'-axis-sharded sorted key array.
+@functools.lru_cache(maxsize=8)
+def _sharded_range_search(mesh):
+    """Build (once per mesh) the jitted sharded binary-search program.
 
-    ``hi_keys``/``lo_keys``: [n_shard * cap] globally sorted keys, each
-    shard padded to ``cap`` with 0xFFFFFFFF sentinels. ``n_valid``/``base``:
-    [n_shard] per-shard valid count and global start offset of the shard's
-    unpadded keys.  Queries are replicated.  Returns (start, count) in
-    global *unpadded* index space (start == INT32_MAX when count == 0).
+    Cached so every SeedIndex.lookup batch reuses one compiled program —
+    re-wrapping shard_map per call would retrace and recompile each time
+    (jit caches key on function identity), defeating the power-of-two
+    query padding that exists to bound recompiles.
     """
-    qspec = P()
 
-    def local_search(hk, lk, nv, bs, qh, ql):
+    def local_search(hk, lk, nv, qh, ql):
         nv = nv.reshape(())
-        bs = bs.reshape(())
         # queries are replicated; mark them shard-varying so the binary
         # search carry (which mixes them with the shard-local n_valid)
         # type-checks under shard_map
@@ -112,16 +110,44 @@ def seed_ranges_sharded(mesh, hi_keys, lo_keys, qhi, qlo, n_valid, base):
         right = _searchsorted2(hk, lk, qh, ql, 'right', nv)
         cnt = right - left
         count = lax.psum(cnt, 'shard')
-        start_here = jnp.where(cnt > 0, bs + left, jnp.int32(2**31 - 1))
-        start = lax.pmin(start_here, 'shard')
-        return start, count
+        # first shard holding a match, and the local offset within it;
+        # the (int64) global index is reconstructed on the host so key
+        # arrays beyond 2^31 entries don't overflow 32-bit device lanes
+        rank = (cnt & 0) + lax.axis_index('shard')
+        nohit = jnp.int32(2**31 - 1)
+        first = lax.pmin(jnp.where(cnt > 0, rank, nohit), 'shard')
+        local = lax.pmin(
+            jnp.where((cnt > 0) & (rank == first), left, nohit), 'shard')
+        return first, local, count
 
     fn = shard_map(
         local_search, mesh=mesh,
-        in_specs=(P('shard'), P('shard'), P('shard'), P('shard'),
-                  qspec, qspec),
-        out_specs=(qspec, qspec))
-    return jax.jit(fn)(hi_keys, lo_keys, n_valid, base, qhi, qlo)
+        in_specs=(P('shard'), P('shard'), P('shard'), P(), P()),
+        out_specs=(P(), P(), P()))
+    return jax.jit(fn)
+
+
+def seed_ranges_sharded(mesh, hi_keys, lo_keys, qhi, qlo, n_valid, base):
+    """Match ranges against a 'shard'-axis-sharded sorted key array.
+
+    ``hi_keys``/``lo_keys``: [n_shard * cap] globally sorted keys, each
+    shard padded to 0xFFFFFFFF sentinels. ``n_valid``: [n_shard] device
+    array of per-shard valid counts; ``base``: [n_shard] *host* int64
+    array of each shard's global start offset. Queries are replicated.
+    Returns numpy (start int64, count int32) in global unpadded index
+    space; start is INT64_MAX where count == 0 (human-genome-scale
+    indexes exceed int32, so the global index math stays on the host).
+    """
+    first, local, count = _sharded_range_search(mesh)(
+        hi_keys, lo_keys, n_valid, qhi, qlo)
+    first = np.asarray(first)
+    local = np.asarray(local)
+    count = np.asarray(count)
+    base = np.asarray(base, dtype=np.int64)
+    start = np.full(first.shape, np.iinfo(np.int64).max, dtype=np.int64)
+    hit = count > 0
+    start[hit] = base[first[hit]] + local[hit].astype(np.int64)
+    return start, count
 
 
 def shard_keys(keys, n_shard):
@@ -129,14 +155,16 @@ def shard_keys(keys, n_shard):
 
     Returns (hi, lo, n_valid, base) numpy arrays ready for
     :func:`seed_ranges_sharded`: hi/lo are [n_shard * cap] uint32 with
-    sentinel padding per shard, n_valid/base are [n_shard] int32.
+    sentinel padding per shard, n_valid is [n_shard] int32, and base is
+    [n_shard] int64 (global offsets can exceed int32 for genome-scale
+    indexes — it stays host-side).
     """
     n = len(keys)
     cap = max(1, -(-n // n_shard))
     hi = np.full(n_shard * cap, 0xFFFFFFFF, dtype=np.uint32)
     lo = np.full(n_shard * cap, 0xFFFFFFFF, dtype=np.uint32)
     n_valid = np.zeros(n_shard, dtype=np.int32)
-    base = np.zeros(n_shard, dtype=np.int32)
+    base = np.zeros(n_shard, dtype=np.int64)
     khi = (keys >> np.uint64(32)).astype(np.uint32)
     klo = keys.astype(np.uint32)
     for s in range(n_shard):

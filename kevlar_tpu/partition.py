@@ -1,14 +1,26 @@
-"""``partition`` stage: group reads into connected components by shared
-novel k-mers.
+"""``partition`` stage: group reads into connected components.
 
-Parity with /root/reference/kevlar/partition.py: builds the read graph,
-extracts components (largest first), labels reads with ``kvcc=N``, optional
-strict overlap validation, per-partition PCR dedup, optional GML dump and
-per-partition split output.
+Reads sharing a novel k-mer belong to the same candidate variant locus;
+components of the shared-k-mer graph become partitions, emitted largest
+first with ``kvcc=N`` labels appended to read names (contract: reference
+kevlar/partition.py:15-80). Strict mode additionally requires a perfect
+overlap (ReadPair) before connecting two reads; PCR duplicates are dropped
+per partition unless ``dedup`` is off. On device, component extraction is
+label propagation over the read↔k-mer incidence (ops/cc_ops.py).
 """
 
 import kevlar_tpu
 from kevlar_tpu.readgraph import ReadGraph, to_gml
+
+
+def _timed_phase(timer, name, text):
+    timer.start(name)
+    kevlar_tpu.plog('[kevlar::partition]', text)
+
+
+def _finish_phase(timer, name, text):
+    kevlar_tpu.plog('[kevlar::partition]',
+                    text.format(timer.stop(name)))
 
 
 def partition(readstream, strict=False, minabund=None, maxabund=None,
@@ -16,64 +28,61 @@ def partition(readstream, strict=False, minabund=None, maxabund=None,
     timer = kevlar_tpu.Timer()
     timer.start()
 
-    timer.start('loadreads')
-    kevlar_tpu.plog('[kevlar::partition] Loading reads')
+    _timed_phase(timer, 'loadreads', 'Loading reads')
     graph = ReadGraph()
     graph.load(readstream, minabund=minabund, maxabund=maxabund)
-    elapsed = timer.stop('loadreads')
-    kevlar_tpu.plog(
-        '[kevlar::partition] Reads loaded in {:.2f} sec'.format(elapsed))
+    _finish_phase(timer, 'loadreads', 'Reads loaded in {:.2f} sec')
 
-    timer.start('buildgraph')
-    mode = 'strict' if strict else 'relaxed'
-    kevlar_tpu.plog(
-        '[kevlar::partition] Building read graph in {:s} mode'.format(mode))
+    _timed_phase(timer, 'buildgraph',
+                 'Building read graph in {:s} mode'.format(
+                     'strict' if strict else 'relaxed'))
     graph.populate_edges(strict=strict)
-    elapsed = timer.stop('buildgraph')
-    kevlar_tpu.plog(
-        '[kevlar::partition] Graph built in {:.2f} sec'.format(elapsed))
+    _finish_phase(timer, 'buildgraph', 'Graph built in {:.2f} sec')
 
     if gmlfile:
         to_gml(graph, gmlfile)
 
-    timer.start('partition')
-    kevlar_tpu.plog('[kevlar::partition] Partition readgraph')
-    part_iter = graph.partitions(dedup, minabund, maxabund, abundfilt=True)
-    n = 0
-    for n, part in enumerate(part_iter, 1):
-        reads = [graph.get_record(readname) for readname in list(part)]
-        for read in reads:
-            read.name += ' kvcc={:d}'.format(n)
-        yield n, reads
-    elapsed = timer.stop('partition')
-    kevlar_tpu.plog(
-        '[kevlar::partition] Partitioning done in {:.2f} sec'.format(elapsed))
-    total = timer.stop()
-    kevlar_tpu.plog(
-        '[kevlar::partition] Total time: {:.2f} seconds'.format(total))
+    _timed_phase(timer, 'partition', 'Partition readgraph')
+    label = 0
+    for label, component in enumerate(
+            graph.partitions(dedup, minabund, maxabund, abundfilt=True), 1):
+        tag = ' kvcc={:d}'.format(label)
+        members = []
+        for readname in component:
+            record = graph.get_record(readname)
+            record.name += tag
+            members.append(record)
+        yield label, members
+    _finish_phase(timer, 'partition', 'Partitioning done in {:.2f} sec')
+    kevlar_tpu.plog('[kevlar::partition] Total time: '
+                    '{:.2f} seconds'.format(timer.stop()))
+
+
+def _write_partition(reads, outstream):
+    for read in reads:
+        kevlar_tpu.print_augmented_fastx(read, outstream)
 
 
 def main(args):
     if args.split:
         kevlar_tpu.mkdirp(args.split, trim=True)
-    outstream = None if args.split else kevlar_tpu.open(args.out, 'w')
+    combined_out = None if args.split else kevlar_tpu.open(args.out, 'w')
     readstream = kevlar_tpu.parse_augmented_fastx(
         kevlar_tpu.open(args.infile, 'r'))
-    partitioner = partition(
-        readstream, strict=args.strict, minabund=args.min_abund,
-        maxabund=args.max_abund, dedup=args.dedup, gmlfile=args.gml)
-    numreads = 0
-    partnum = 0
-    for partnum, part in partitioner:
-        numreads += len(part)
+    nreads = nparts = 0
+    for label, reads in partition(readstream, strict=args.strict,
+                                  minabund=args.min_abund,
+                                  maxabund=args.max_abund, dedup=args.dedup,
+                                  gmlfile=args.gml):
+        nparts = label
+        nreads += len(reads)
         if args.split:
-            ofname = '{:s}.cc{:d}.augfastq.gz'.format(args.split, partnum)
-            with kevlar_tpu.open(ofname, 'w') as outfile:
-                for read in part:
-                    kevlar_tpu.print_augmented_fastx(read, outfile)
+            shardfile = '{:s}.cc{:d}.augfastq.gz'.format(args.split, label)
+            with kevlar_tpu.open(shardfile, 'w') as fh:
+                _write_partition(reads, fh)
         else:
-            for read in part:
-                kevlar_tpu.print_augmented_fastx(read, outstream)
-    message = 'grouped {:d} reads into {:d} connected components'.format(
-        numreads, partnum)
-    kevlar_tpu.plog('[kevlar::partition]', message)
+            _write_partition(reads, combined_out)
+    kevlar_tpu.plog(
+        '[kevlar::partition]',
+        'grouped {:d} reads into {:d} connected components'.format(
+            nreads, nparts))

@@ -117,9 +117,13 @@ class SeedIndex:
                 from kevlar_tpu.parallel import mesh as meshmod
                 mesh = meshmod.make_mesh()
                 n_shard = mesh.shape['shard']
-                planes = seed_ops.shard_keys(self._keys, n_shard)
-                self._device_index = (mesh,) + tuple(
-                    jnp.asarray(p) for p in planes)
+                khi, klo, n_valid, base = seed_ops.shard_keys(
+                    self._keys, n_shard)
+                # base stays host-side int64 (genome-scale indexes exceed
+                # the 32-bit lanes the device search runs on)
+                self._device_index = (mesh, jnp.asarray(khi),
+                                      jnp.asarray(klo),
+                                      jnp.asarray(n_valid), base)
             mesh, khi, klo, n_valid, base = self._device_index
             start, count = seed_ops.seed_ranges_sharded(
                 mesh, khi, klo, jnp.asarray(qhi), jnp.asarray(qlo),

@@ -1,24 +1,35 @@
 """``simlike`` stage: trio likelihood scoring of variant calls.
 
-Parity with /root/reference/kevlar/simlike.py, implemented scipy-free:
-- genotype 0 -> log-binomial(scaledmean = mean*refrabund, error); indels use
-  refrabund=1 and error*0.01; abundance clamped at scaledmean; log C(n,k)
-  via lgamma (exact for integral n, and well-defined for fractional means
-  where scipy's exact-mode comb silently floors)
+For each call, the abundances of every variant-spanning (ALTWINDOW) k-mer
+in case/controls form a columnar bundle (k-mers already present in the
+reference genome are masked out); three log-likelihood models score the
+bundle and LIKESCORE = LLDN - max(LLFP, LLIH):
+
+- genotype 0 -> log-binomial(scaledmean = mean*refrabund, error); indels
+  use refrabund=1 and error*0.01; abundance clamped at scaledmean; log
+  C(n,k) via lgamma (exact for integral n, well-defined for fractional
+  scaled means where scipy's exact-mode comb silently floors)
 - genotype 1 -> Normal(mean/2, sd/2) logpdf; genotype 2 -> Normal(mean, sd)
-- LLDN = case het + controls absent; LLFP = all absent; LLIH = per-k-mer max
-  over the 11 trio inheritance scenarios + log(15/11) correction
-- LIKESCORE = LLDN - max(LLFP, LLIH)
-- heuristic filters: PassengerVariant, CaseAbundance (consecutive low case
-  k-mers), ControlAbundance (too many high control k-mers), window sanity
-- per-partition: only max-scoring PASS calls keep CALLCLASS; ties above
-  ambigthresh -> AmbiguousCall; final sort by LIKESCORE descending.
+- LLDN = case het + controls absent; LLFP = all absent; LLIH = per-k-mer
+  max over the 11 trio inheritance scenarios + log(15/11) correction
+
+Heuristic filters ride the same bundle (PassengerVariant, CaseAbundance on
+a run of low case k-mers, ControlAbundance on too many high control
+k-mers, window sanity); per partition only max-scoring PASS calls keep
+CALLCLASS (ties beyond ``ambigthresh`` become AmbiguousCall) and output
+sorts by LIKESCORE descending. Behavioral contract: reference
+kevlar/simlike.py:22-384, golden likelihood values pinned in
+tests/test_simlike.py.
 """
 
 from collections import defaultdict
+import functools
 from math import log, lgamma, pi, isclose, inf
 
+import numpy as np
+
 import kevlar_tpu
+from kevlar_tpu.vcf import VariantFilter as vf
 
 
 class KevlarSampleLabelingError(ValueError):
@@ -27,6 +38,18 @@ class KevlarSampleLabelingError(ValueError):
 
 LOG_2PI = log(2.0 * pi)
 
+INHERITANCE_SCENARIOS = [
+    (1, 0, 1), (1, 0, 2),
+    (1, 1, 0), (1, 1, 1), (1, 1, 2),
+    (1, 2, 0), (1, 2, 1),
+    (2, 1, 1), (2, 1, 2),
+    (2, 2, 1), (2, 2, 2),
+]
+
+
+# ---------------------------------------------------------------------------
+# scalar likelihood reference (golden-value-pinned)
+# ---------------------------------------------------------------------------
 
 def norm_logpdf(x, mu, sd):
     z = (x - mu) / sd
@@ -40,51 +63,6 @@ def log_choose(n, k):
     return lgamma(n + 1.0) - lgamma(k + 1.0) - lgamma(n - k + 1.0)
 
 
-def discard_nonunique_kmers(altseq, case, controls, refr):
-    case_counts = case.get_kmer_counts(altseq)
-    alt_counts_refr = refr.get_kmer_counts(altseq)
-    case_counts_valid = [
-        c for c, r in zip(case_counts, alt_counts_refr) if r == 0]
-    ctrl_counts_valid = []
-    for control in controls:
-        ctrl_counts = control.get_kmer_counts(altseq)
-        ctrl_counts_valid.append(
-            [c for c, r in zip(ctrl_counts, alt_counts_refr) if r == 0])
-    return case_counts_valid, ctrl_counts_valid, alt_counts_refr
-
-
-def discard_outlier_abunds(case_counts, ctrl_counts):
-    meanabund = sum(case_counts) / len(case_counts)
-    case_counts_valid = [a for a in case_counts if abs(a - meanabund) < 20]
-    ctrl_counts_valid = []
-    for control in ctrl_counts:
-        meanabund = sum(control) / len(control)
-        ctrl_counts_valid.append(
-            [a for a in control if abs(a - meanabund) < 20])
-    return case_counts_valid, ctrl_counts_valid
-
-
-def spanning_kmer_abundances(altseq, refrseq, case, controls, refr,
-                             dropoutliers=False):
-    """Abundances of variant-spanning k-mers; drops k-mers present in the
-    reference genome; returns (abundances, refr_abunds, ndropped)."""
-    orig_nkmers = len(altseq) - case.ksize() + 1
-    case_counts, ctrl_counts, alt_counts_refr = discard_nonunique_kmers(
-        altseq, case, controls, refr)
-    if dropoutliers:
-        case_counts, ctrl_counts = discard_outlier_abunds(
-            case_counts, ctrl_counts)
-    ndropped = orig_nkmers - len(case_counts)
-    abundances = [case_counts] + ctrl_counts
-    if len(altseq) == len(refrseq):  # SNV or MNV
-        refr_counts = refr.get_kmer_counts(refrseq)
-        refr_abunds = [
-            c for c, r in zip(refr_counts, alt_counts_refr) if r == 0]
-    else:  # INDEL
-        refr_abunds = [None] * len(case_counts)
-    return abundances, refr_abunds, ndropped
-
-
 def abund_log_prob(genotype, abundance, refrabund=None, mean=30.0, sd=8.0,
                    error=0.001):
     """log P(abundance | genotype in {0, 1, 2})."""
@@ -93,65 +71,54 @@ def abund_log_prob(genotype, abundance, refrabund=None, mean=30.0, sd=8.0,
             refrabund = 1
             error *= 0.01
         scaledmean = mean * refrabund
-        if abundance > scaledmean:
-            abundance = scaledmean
+        abundance = min(abundance, scaledmean)
         return (log_choose(scaledmean, abundance)
                 + (abundance * log(error))
                 + ((scaledmean - abundance) * log(1.0 - error)))
-    elif genotype == 1:
+    if genotype == 1:
         return norm_logpdf(abundance, mean / 2, sd / 2)
-    elif genotype == 2:
+    if genotype == 2:
         return norm_logpdf(abundance, mean, sd)
 
 
 # ---------------------------------------------------------------------------
-# Vectorised likelihood sums (numpy): identical math to abund_log_prob,
-# evaluated across all k-mers at once.  The scalar abund_log_prob remains the
-# reference implementation (golden-value tests); tests/test_simlike.py checks
-# the vectorised paths against it.
+# vectorised likelihood sums: identical math to abund_log_prob evaluated
+# across all k-mers at once (tests check them against the scalar form)
 # ---------------------------------------------------------------------------
-
-import functools
-
-import numpy as _np
-
 
 @functools.lru_cache(maxsize=1 << 16)
 def _lgamma_cached(x):
     return lgamma(x)
 
 
-_lgamma_vec = _np.vectorize(_lgamma_cached, otypes=[float])
+_lgamma_vec = np.vectorize(_lgamma_cached, otypes=[float])
 
 
 def _lp0_vec(abunds, refrabunds, mean, error):
-    """Vectorised genotype-0 log-probabilities.
-
-    refrabunds entries of None/0 trigger INDEL mode (refrabund=1, error*0.01)
-    per-element, matching the scalar code.
-    """
-    a = _np.asarray(abunds, dtype=float)
-    r = _np.array([0.0 if x is None else float(x) for x in refrabunds])
+    """Vectorised genotype-0 log-probabilities; refrabund entries of
+    None/0 trigger INDEL mode (refrabund=1, error*0.01) per element."""
+    a = np.asarray(abunds, dtype=float)
+    r = np.array([0.0 if x is None else float(x) for x in refrabunds])
     indel = r == 0.0
-    r = _np.where(indel, 1.0, r)
-    err = _np.where(indel, error * 0.01, error)
+    r = np.where(indel, 1.0, r)
+    err = np.where(indel, error * 0.01, error)
     scaledmean = mean * r
-    a = _np.minimum(a, scaledmean)
+    a = np.minimum(a, scaledmean)
     nck = (_lgamma_vec(scaledmean + 1.0) - _lgamma_vec(a + 1.0)
            - _lgamma_vec(scaledmean - a + 1.0))
-    return nck + a * _np.log(err) + (scaledmean - a) * _np.log(1.0 - err)
+    return nck + a * np.log(err) + (scaledmean - a) * np.log(1.0 - err)
 
 
 def _lp_het_vec(abunds, mean, sd):
-    a = _np.asarray(abunds, dtype=float)
+    a = np.asarray(abunds, dtype=float)
     z = (a - mean / 2) / (sd / 2)
-    return -0.5 * z * z - _np.log(sd / 2) - 0.5 * LOG_2PI
+    return -0.5 * z * z - np.log(sd / 2) - 0.5 * LOG_2PI
 
 
 def _lp_hom_vec(abunds, mean, sd):
-    a = _np.asarray(abunds, dtype=float)
+    a = np.asarray(abunds, dtype=float)
     z = (a - mean) / sd
-    return -0.5 * z * z - _np.log(sd) - 0.5 * LOG_2PI
+    return -0.5 * z * z - np.log(sd) - 0.5 * LOG_2PI
 
 
 def likelihood_denovo(abunds, refrabunds, mean=30.0, sd=8.0, error=0.001):
@@ -159,9 +126,9 @@ def likelihood_denovo(abunds, refrabunds, mean=30.0, sd=8.0, error=0.001):
     assert len(abunds[2]) == len(refrabunds)
     if len(abunds[0]) == 0:
         return 0.0
-    logsum = float(_np.sum(_lp_het_vec(abunds[0], mean, sd)))
+    logsum = float(np.sum(_lp_het_vec(abunds[0], mean, sd)))
     for altabunds in abunds[1:]:
-        logsum += float(_np.sum(_lp0_vec(altabunds, refrabunds, mean, error)))
+        logsum += float(np.sum(_lp0_vec(altabunds, refrabunds, mean, error)))
     return logsum
 
 
@@ -171,18 +138,9 @@ def likelihood_false(abunds, refrabunds, mean=30.0, error=0.001):
     logsum = 0.0
     for altabunds in abunds:
         if len(altabunds):
-            logsum += float(_np.sum(_lp0_vec(altabunds, refrabunds, mean,
-                                             error)))
+            logsum += float(np.sum(_lp0_vec(altabunds, refrabunds, mean,
+                                            error)))
     return logsum
-
-
-INHERITANCE_SCENARIOS = [
-    (1, 0, 1), (1, 0, 2),
-    (1, 1, 0), (1, 1, 1), (1, 1, 2),
-    (1, 2, 0), (1, 2, 1),
-    (2, 1, 1), (2, 1, 2),
-    (2, 2, 1), (2, 2, 2),
-]
 
 
 def likelihood_inherited(abunds, mean=30.0, sd=8.0, error=0.001):
@@ -191,197 +149,252 @@ def likelihood_inherited(abunds, mean=30.0, sd=8.0, error=0.001):
     K = len(abunds[0])
     if K == 0:
         return log(15.0 / 11.0)
-    # per-person log-probs for genotypes 0/1/2: [3 genotypes, K]
     per_person = []
     for a in (abunds[0], abunds[1], abunds[2]):
-        # genotype 0 with no refrabund: the scalar code's "INDEL mode"
-        # (refrabund=1, error*0.01) — parity with the reference, which never
-        # passes refrabund in the inheritance scan (simlike.py:688-690)
+        # genotype 0 with no refrabund = the scalar code's "INDEL mode"
+        # (refrabund=1, error*0.01) — parity with the reference, which
+        # never passes refrabund in the inheritance scan
         none_refr = [None] * len(a)
-        lp = _np.stack([
+        per_person.append(np.stack([
             _lp0_vec(a, none_refr, mean, error),
             _lp_het_vec(a, mean, sd),
             _lp_hom_vec(a, mean, sd),
-        ])
-        per_person.append(lp)
-    scen = _np.asarray(INHERITANCE_SCENARIOS)  # [S, 3]
+        ]))
+    scen = np.asarray(INHERITANCE_SCENARIOS)  # [S, 3]
     totals = (per_person[0][scen[:, 0]] + per_person[1][scen[:, 1]]
               + per_person[2][scen[:, 2]]) + log(1.0 / 15.0)  # [S, K]
-    logsum = float(_np.sum(_np.max(totals, axis=0)))
-    return log(15.0 / 11.0) + logsum
+    return log(15.0 / 11.0) + float(np.sum(np.max(totals, axis=0)))
 
 
-def joinlist(thelist):
-    if len(thelist) == 0:
-        return '.'
-    return ','.join(str(v) for v in thelist)
+# ---------------------------------------------------------------------------
+# per-call abundance bundles (columnar)
+# ---------------------------------------------------------------------------
+
+class _AbundanceBundle:
+    """Variant-spanning k-mer abundances for one call, reference-masked.
+
+    ``case``/``controls`` are numpy vectors over the surviving k-mers;
+    ``refrcopies`` is the per-k-mer REF-allele genome copy number (None
+    entries for indels); ``ndropped`` counts masked/outlier k-mers.
+    """
+
+    __slots__ = ('case', 'controls', 'refrcopies', 'ndropped')
+
+    def __init__(self, case, controls, refrcopies, ndropped):
+        self.case = case
+        self.controls = controls
+        self.refrcopies = refrcopies
+        self.ndropped = ndropped
+
+    @classmethod
+    def gather(cls, altseq, refrseq, casecounts, ctrlcounts, refrcounts,
+               dropoutliers=False):
+        """Mask out k-mers present in the reference genome; optionally drop
+        per-sample outliers (> 20 from the sample mean)."""
+        raw = np.asarray(casecounts.get_kmer_counts(altseq))
+        novel = np.asarray(refrcounts.get_kmer_counts(altseq)) == 0
+        case = raw[novel]
+        controls = [np.asarray(c.get_kmer_counts(altseq))[novel]
+                    for c in ctrlcounts]
+        if dropoutliers:
+            case = cls._drop_outliers(case)
+            controls = [cls._drop_outliers(c) for c in controls]
+        if len(altseq) == len(refrseq):  # SNV/MNV: per-k-mer copy number
+            refrcopies = list(np.asarray(
+                refrcounts.get_kmer_counts(refrseq))[novel])
+        else:  # indel: alleles differ in length, copy number undefined
+            refrcopies = [None] * len(case)
+        return cls(case, controls, refrcopies, len(raw) - len(case))
+
+    @staticmethod
+    def _drop_outliers(abunds):
+        if len(abunds) == 0:
+            return abunds
+        return abunds[np.abs(abunds - abunds.mean()) < 20]
+
+    def aslists(self):
+        return [list(map(int, self.case))] + \
+            [list(map(int, c)) for c in self.controls]
+
+    # -- heuristic screens ---------------------------------------------------
+
+    def no_spanning_novel_kmer(self, casemin):
+        return not bool((self.case >= casemin).any())
+
+    def case_low_run(self, casemin, runlength):
+        """True when `runlength` consecutive case k-mers sit below casemin."""
+        low = self.case < casemin
+        run = 0
+        for flag in low:
+            run = run + 1 if flag else 0
+            if run >= runlength:
+                return True
+        return False
+
+    def control_high_count(self, ctrlmax, limit):
+        return any(int((ctrl > ctrlmax).sum()) > limit
+                   for ctrl in self.controls)
 
 
-def calc_likescore(call, altabund, refrabund, mu, sigma, epsilon):
-    lldn = likelihood_denovo(altabund, refrabund, mean=mu, sd=sigma,
-                             error=epsilon)
-    llfp = likelihood_false(altabund, refrabund, mean=mu, error=epsilon)
-    llih = likelihood_inherited(altabund, mean=mu, sd=sigma, error=epsilon)
-    likescore = lldn - max(llfp, llih)
-    call.annotate('LLDN', lldn)
-    call.annotate('LLFP', llfp)
-    call.annotate('LLIH', llih)
-    call.annotate('LIKESCORE', likescore)
+def spanning_kmer_abundances(altseq, refrseq, case, controls, refr,
+                             dropoutliers=False):
+    """Abundances of variant-spanning k-mers, dropping k-mers present in
+    the reference genome. Returns (list-of-lists abundances, refr copy
+    numbers, number dropped) — contract: reference simlike.py:51-96."""
+    bundle = _AbundanceBundle.gather(
+        altseq, refrseq, case, controls, refr, dropoutliers=dropoutliers)
+    return bundle.aslists(), bundle.refrcopies, bundle.ndropped
+
+
+def joinlist(values):
+    return ','.join(str(v) for v in values) if len(values) else '.'
 
 
 def default_sample_labels(nsamples):
-    samples = ['Control{:d}'.format(i) for i in range(nsamples)]
-    samples[0] = 'Case'
-    return samples
+    return ['Case'] + ['Control{:d}'.format(i) for i in range(1, nsamples)]
 
 
-def annotate_abundances(call, abundances, refrabund, samplelabels):
-    if len(refrabund) > 0 and None not in refrabund:
-        call.annotate('REFRCOPYNUM', ','.join(map(str, refrabund)))
-    for sample, abundlist in zip(samplelabels, abundances):
-        call.format(sample, 'ALTABUND', joinlist(abundlist))
+# ---------------------------------------------------------------------------
+# per-call scoring and partition ranking
+# ---------------------------------------------------------------------------
 
-
-def process_partition(partitionid, calls, ambigthresh=10):
-    passcalls = [c for c in calls if c.filterstr == 'PASS']
-    if len(passcalls) == 0:
-        return
-    maxscore = max(c.attribute('LIKESCORE') for c in passcalls)
-    maxcalls = []
-    for c in calls:
-        passed = c.filterstr == 'PASS'
-        optimal = isclose(c.attribute('LIKESCORE'), maxscore)
-        if passed and optimal:
-            maxcalls.append(c)
-        else:
-            c.filter(kevlar_tpu.vcf.VariantFilter.PartitionScore)
-    for c in maxcalls:
-        if ambigthresh and len(maxcalls) > ambigthresh:
-            c.filter(kevlar_tpu.vcf.VariantFilter.AmbiguousCall)
-        else:
-            c.annotate('CALLCLASS', partitionid)
-
-
-def window_check(call, ksize=31):
-    altspan = call.window
-    refspan = call.refrwindow
-    altmissing = altspan is None
-    refmissing = refspan is None
-    altshort = altspan and len(altspan) < ksize
-    refshort = refspan and len(refspan) < ksize
-    if altmissing or refmissing or altshort or refshort:
-        if call.filterstr == 'PASS':
-            kevlar_tpu.plog('[kevlar::simlike] WARNING: stubbornly refusing '
-                            'to compute likelihood for', str(call))
-        return True
+def _defective_window(call, ksize):
+    """Missing or sub-k windows make likelihoods undefined."""
+    for span in (call.window, call.refrwindow):
+        if span is None or len(span) < ksize:
+            if call.filterstr == 'PASS':
+                kevlar_tpu.plog(
+                    '[kevlar::simlike] WARNING: stubbornly refusing to '
+                    'compute likelihood for', str(call))
+            return True
     return False
 
 
-def check_hash_spanning_novel_kmers(call, caseabundlist, casemin):
-    abovethresh = [a for a in caseabundlist if a >= casemin]
-    if len(abovethresh) == 0:
-        call.filter(kevlar_tpu.vcf.VariantFilter.PassengerVariant)
+def _screen(call, bundle, casemin, ctrlmax, caseabundlow, ctrlabundhigh):
+    if bundle.no_spanning_novel_kmer(casemin):
+        call.filter(vf.PassengerVariant)
+    if caseabundlow and caseabundlow > 0 and \
+            bundle.case_low_run(casemin, caseabundlow):
+        call.filter(vf.CaseAbundance)
+    if ctrlabundhigh and ctrlabundhigh > 0 and \
+            bundle.control_high_count(ctrlmax, ctrlabundhigh):
+        call.filter(vf.ControlAbundance)
 
 
-def check_case_abund_low(call, caseabundlist, casemin, caseabundlow):
-    if not caseabundlow or caseabundlow <= 0:
+def _score(call, bundle, mu, sigma, epsilon):
+    abunds = bundle.aslists()
+    lldn = likelihood_denovo(abunds, bundle.refrcopies, mean=mu, sd=sigma,
+                             error=epsilon)
+    llfp = likelihood_false(abunds, bundle.refrcopies, mean=mu,
+                            error=epsilon)
+    llih = likelihood_inherited(abunds, mean=mu, sd=sigma, error=epsilon)
+    call.annotate('LLDN', lldn)
+    call.annotate('LLFP', llfp)
+    call.annotate('LLIH', llih)
+    call.annotate('LIKESCORE', lldn - max(llfp, llih))
+
+
+def _annotate_sample_data(call, bundle, samplelabels):
+    if bundle.refrcopies and None not in bundle.refrcopies:
+        call.annotate('REFRCOPYNUM', ','.join(map(str, bundle.refrcopies)))
+    for label, abunds in zip(samplelabels, bundle.aslists()):
+        call.format(label, 'ALTABUND', joinlist(abunds))
+
+
+def _rank_partition(partitionid, calls, ambigthresh=10):
+    """Only the top-scoring PASS calls represent a partition: they keep
+    CALLCLASS (or become AmbiguousCall when too many tie); the rest get
+    PartitionScore."""
+    top = max((c.attribute('LIKESCORE') for c in calls
+               if c.filterstr == 'PASS'), default=None)
+    if top is None:
         return
-    # filter if `caseabundlow` consecutive case k-mers are below casemin
-    run = 0
-    for a in caseabundlist:
-        if a < casemin:
-            run += 1
-            if run >= caseabundlow:
-                call.filter(kevlar_tpu.vcf.VariantFilter.CaseAbundance)
-                return
+    winners = []
+    for call in calls:
+        if call.filterstr == 'PASS' and \
+                isclose(call.attribute('LIKESCORE'), top):
+            winners.append(call)
         else:
-            run = 0
-
-
-def check_ctrl_abund_high(call, ctrlabundlists, ctrlmax, ctrlabundhigh):
-    if not ctrlabundhigh or ctrlabundhigh <= 0:
-        return
-    for abundlist in ctrlabundlists:
-        toohigh = [a for a in abundlist if a > ctrlmax]
-        if len(toohigh) > ctrlabundhigh:
-            call.filter(kevlar_tpu.vcf.VariantFilter.ControlAbundance)
-            break
+            call.filter(vf.PartitionScore)
+    ambiguous = ambigthresh and len(winners) > ambigthresh
+    for call in winners:
+        if ambiguous:
+            call.filter(vf.AmbiguousCall)
+        else:
+            call.annotate('CALLCLASS', partitionid)
 
 
 def simlike(variants, case, controls, refr, mu=30.0, sigma=8.0, epsilon=0.001,
             casemin=6, ctrlmax=1, caseabundlow=5, ctrlabundhigh=4,
             samplelabels=None, fastmode=False, minlikescore=0.0,
             dropoutliers=False, ambigthresh=10):
-    calls_by_partition = defaultdict(list)
     if samplelabels is None:
         samplelabels = default_sample_labels(len(controls) + 1)
+    by_partition = defaultdict(list)
+
+    def park(call):
+        call.annotate('LIKESCORE', float('-inf'))
+        by_partition[call.attribute('PART')].append(call)
+
     for call in variants:
-        skipvar = fastmode and call.filterstr != 'PASS'
-        if skipvar or window_check(call, case.ksize()):
-            call.annotate('LIKESCORE', float('-inf'))
-            calls_by_partition[call.attribute('PART')].append(call)
+        if (fastmode and call.filterstr != 'PASS') or \
+                _defective_window(call, case.ksize()):
+            park(call)
             continue
-        altabund, refrabund, ndropped = spanning_kmer_abundances(
+        bundle = _AbundanceBundle.gather(
             call.window, call.refrwindow, case, controls, refr,
             dropoutliers=dropoutliers)
-        call.annotate('DROPPED', ndropped)
-        check_hash_spanning_novel_kmers(call, altabund[0], casemin)
-        check_case_abund_low(call, altabund[0], casemin, caseabundlow)
-        check_ctrl_abund_high(call, altabund[1:], ctrlmax, ctrlabundhigh)
-        skipvar = fastmode and call.filterstr != 'PASS'
-        if skipvar:
-            call.annotate('LIKESCORE', float('-inf'))
-            calls_by_partition[call.attribute('PART')].append(call)
+        call.annotate('DROPPED', bundle.ndropped)
+        _screen(call, bundle, casemin, ctrlmax, caseabundlow, ctrlabundhigh)
+        if fastmode and call.filterstr != 'PASS':
+            park(call)
             continue
-        calc_likescore(call, altabund, refrabund, mu, sigma, epsilon)
-        annotate_abundances(call, altabund, refrabund, samplelabels)
-        calls_by_partition[call.attribute('PART')].append(call)
+        _score(call, bundle, mu, sigma, epsilon)
+        _annotate_sample_data(call, bundle, samplelabels)
+        by_partition[call.attribute('PART')].append(call)
 
-    allcalls = []
-    for partitionid, calls in calls_by_partition.items():
-        process_partition(partitionid, calls, ambigthresh=ambigthresh)
-        allcalls.extend(calls)
-
-    allcalls.sort(key=lambda c: c.attribute('LIKESCORE'), reverse=True)
-    for call in allcalls:
+    ranked = []
+    for partitionid, calls in by_partition.items():
+        _rank_partition(partitionid, calls, ambigthresh=ambigthresh)
+        ranked += calls
+    ranked.sort(key=lambda c: c.attribute('LIKESCORE'), reverse=True)
+    for call in ranked:
         if call.attribute('LIKESCORE') < minlikescore:
-            call.filter(kevlar_tpu.vcf.VariantFilter.LikelihoodFail)
+            call.filter(vf.LikelihoodFail)
         yield call
 
 
 def main(args):
-    from kevlar_tpu import sketch as sketch_mod
-    from kevlar_tpu import vcf as vcf_mod
+    from kevlar_tpu import sketch
+    from kevlar_tpu import vcf
     nsamples = len(args.controls) + 1
     if args.sample_labels:
-        nlabels = len(args.sample_labels)
-        if nlabels and nlabels != nsamples:
+        if len(args.sample_labels) != nsamples:
             raise KevlarSampleLabelingError(
                 'provided {:d} labels but {:d} samples'.format(
-                    nlabels, nsamples))
+                    len(args.sample_labels), nsamples))
+        labels = args.sample_labels
     else:
-        args.sample_labels = default_sample_labels(nsamples)
+        labels = default_sample_labels(nsamples)
 
     kevlar_tpu.plog('[kevlar::simlike] Loading k-mer counts for each sample')
-    case = sketch_mod.load(args.case)
-    controls = [sketch_mod.load(c) for c in args.controls]
-    refr = sketch_mod.load(args.refr)
+    case = sketch.load(args.case)
+    controls = [sketch.load(c) for c in args.controls]
+    refr = sketch.load(args.refr)
 
-    reader = vcf_mod.vcfstream(args.vcf)
-    outstream = kevlar_tpu.open(args.out, 'w')
-    writer = vcf_mod.VCFWriter(outstream, source='kevlar::simlike')
-    for label in args.sample_labels:
+    writer = vcf.VCFWriter(kevlar_tpu.open(args.out, 'w'),
+                           source='kevlar::simlike')
+    for label in labels:
         writer.register_sample(label)
     writer.write_header()
 
     kevlar_tpu.plog('[kevlar::simlike] Computing likelihood scores for '
                     'preliminary variant calls')
-    calculator = simlike(
-        reader, case, controls, refr, mu=args.mu, sigma=args.sigma,
-        epsilon=args.epsilon, casemin=args.case_min, ctrlmax=args.ctrl_max,
-        caseabundlow=args.case_abund_low, ctrlabundhigh=args.ctrl_abund_high,
-        samplelabels=args.sample_labels, fastmode=args.fast_mode,
-        minlikescore=args.min_like_score, dropoutliers=args.drop_outliers,
-        ambigthresh=args.ambig_thresh)
-    for call in calculator:
+    for call in simlike(
+            vcf.vcfstream(args.vcf), case, controls, refr, mu=args.mu,
+            sigma=args.sigma, epsilon=args.epsilon, casemin=args.case_min,
+            ctrlmax=args.ctrl_max, caseabundlow=args.case_abund_low,
+            ctrlabundhigh=args.ctrl_abund_high, samplelabels=labels,
+            fastmode=args.fast_mode, minlikescore=args.min_like_score,
+            dropoutliers=args.drop_outliers, ambigthresh=args.ambig_thresh):
         writer.write(call)

@@ -1,4 +1,10 @@
-"""``varfilter`` stage: flag calls overlapping user-specified BED regions."""
+"""``varfilter`` stage: mark calls that fall inside user-supplied regions.
+
+Calls are indexed once into an interval forest; each BED region then stamps
+every overlapping call with the ``UserFilter`` code (contract:
+kevlar/varfilter.py:13-35). Emission order is forest iteration order, as in
+the reference.
+"""
 
 import kevlar_tpu
 from kevlar_tpu.intervalforest import IntervalForest
@@ -6,30 +12,28 @@ from kevlar_tpu.intervalforest import IntervalForest
 
 def load_predictions(varcalls):
     kevlar_tpu.plog('[kevlar::varfilter] Loading predictions to filter')
-    index = IntervalForest()
+    forest = IntervalForest()
     for call in varcalls:
-        index.insert(*call.region, data=call)
-    return index
+        forest.insert(*call.region, data=call)
+    return forest
 
 
 def varfilter(callstream, maskstream):
-    callindex = load_predictions(callstream)
+    from kevlar_tpu.vcf import VariantFilter
+    forest = load_predictions(callstream)
     kevlar_tpu.plog('[kevlar::varfilter] Filtering preliminary variant calls')
-    from kevlar_tpu import vcf as vcf_mod
-    for chrom, start, end, data in maskstream:
-        hits = callindex.query(chrom, start, end)
-        for interval in hits:
-            interval.data.filter(vcf_mod.VariantFilter.UserFilter)
-    for varcall in callindex:
-        yield varcall
+    for chrom, start, end, _extra in maskstream:
+        for hit in forest.query(chrom, start, end):
+            hit.data.filter(VariantFilter.UserFilter)
+    yield from forest
 
 
 def main(args):
-    from kevlar_tpu import vcf as vcf_mod
-    reader = vcf_mod.vcfstream(args.vcf)
-    bedstream = kevlar_tpu.parse_bed(kevlar_tpu.open(args.filt, 'r'))
-    outstream = kevlar_tpu.open(args.out, 'w')
-    writer = vcf_mod.VCFWriter(outstream, source='kevlar::varfilter')
+    from kevlar_tpu import vcf
+    writer = vcf.VCFWriter(kevlar_tpu.open(args.out, 'w'),
+                           source='kevlar::varfilter')
     writer.write_header()
-    for varcall in varfilter(reader, bedstream):
-        writer.write(varcall)
+    calls = vcf.vcfstream(args.vcf)
+    regions = kevlar_tpu.parse_bed(kevlar_tpu.open(args.filt, 'r'))
+    for call in varfilter(calls, regions):
+        writer.write(call)

@@ -1,18 +1,19 @@
-"""Contig↔reference-cutout alignments and their interpretation as variants.
+"""Contig-to-reference-cutout alignments interpreted as variant calls.
 
-Parity with /root/reference/kevlar/varmap.py: CIGAR classification via the
-SNV pattern ``^((\\d+)([DI]))?(\\d+)M((\\d+)[DI])?$`` and the indel pattern
-``^((\\d+)([DI]))?(\\d+)M(\\d+)([ID])(\\d+)M((\\d+)[DI])?$``; per-mismatch SNV
-calls with terminal trimming; PerfectMatch/NumerousMismatches no-calls;
-±(k-1) ALT/REF windows; VCF-style left-anchored indel alleles; passenger and
-homopolymer filters.
+An alignment's canonical CIGAR is classified *structurally* from its
+tokenized blocks — an optional leading/trailing indel around either a
+single M block (substitution shape) or an M/gap/M core (indel shape) —
+which is equivalent to the reference's regex patterns
+(kevlar/varmap.py:49-54) since the CIGAR string renders 1:1 from the
+blocks. Interpretation contract (kevlar/varmap.py:157-330): per-mismatch
+SNV calls with terminal trimming, PerfectMatch / NumerousMismatches /
+InscrutableCigar no-calls, ±(k-1) ALT/REFR windows, VCF-style
+left-anchored indel alleles at the anchor coordinate minus one, passenger
+(no spanning novel k-mer) and homopolymer filters.
 
-The alignment itself runs through the batched ksw2-exact engine
-(:mod:`kevlar_tpu.ops.align`).
+Alignments run through the ksw2-exact engine (:mod:`kevlar_tpu.ops.align`);
+the call stage batches them per partition on device (ops/align_ops).
 """
-
-from itertools import chain
-import re
 
 import kevlar_tpu
 from kevlar_tpu.ops.align import align_both_strands
@@ -21,73 +22,77 @@ from kevlar_tpu.vcf import Variant
 from kevlar_tpu.vcf import VariantFilter as vf
 
 
-class VariantMapping:
-    """Manages a contig-to-reference-cutout alignment and calls variants."""
+def _classify(blocks):
+    """Structural CIGAR classification.
 
-    snvpattern = r'^((\d+)([DI]))?(\d+)M((\d+)[DI])?$'
-    indelpattern = r'^((\d+)([DI]))?(\d+)M(\d+)([ID])(\d+)M((\d+)[DI])?$'
+    Returns (vartype, lead, left, gap, right): vartype in {'snv', 'indel',
+    None}; lead is the leading indel block if any; for 'snv' ``left`` is
+    the M block; for 'indel' (left, gap, right) are the M/indel/M core.
+    """
+    lead = blocks[0] if blocks and blocks[0].type != 'M' else None
+    core = blocks[1:] if lead is not None else list(blocks)
+    if core and core[-1].type != 'M':
+        core = core[:-1]
+    shape = ''.join(b.type for b in core)
+    if shape == 'M':
+        return 'snv', lead, core[0], None, None
+    if shape in ('MDM', 'MIM'):
+        return 'indel', lead, core[0], core[1], core[2]
+    return None, lead, None, None, None
+
+
+def trim_terminal_snvs(mismatches, alnlength, mindist=5):
+    """Drop mismatch positions within ``mindist`` of either alignment end;
+    returns (number trimmed, surviving positions)."""
+    kept = [mm for mm in mismatches
+            if mm >= mindist and alnlength - mm >= mindist]
+    return len(mismatches) - len(kept), kept
+
+
+def n_ikmers_present(record, window):
+    """Novel k-mers of ``record`` present in ``window`` (either strand)."""
+    total = 0
+    for ikmer in record.annotations:
+        seq = record.ikmerseq(ikmer)
+        if seq in window or kevlar_tpu.revcom(seq) in window:
+            total += 1
+    return total
+
+
+class VariantMapping:
+    """One contig aligned to one reference cutout, and the variants the
+    alignment implies."""
 
     def __init__(self, contig, cutout, score=None, cigar=None, strand=1,
                  match=1, mismatch=2, gapopen=5, gapextend=0,
                  homopolyfilt=True, nocall=False):
-        if score is None and not nocall:
-            score, cigar, strand = align_both_strands(
-                cutout.sequence, contig.sequence, match, mismatch, gapopen,
-                gapextend)
         self.contig = contig
         self.cutout = cutout
         self.nocall = nocall
         self.vartype = None
+        self.score = 0
         if nocall:
-            self.score = 0
             return
+        if score is None:
+            score, cigar, strand = align_both_strands(
+                cutout.sequence, contig.sequence, match, mismatch, gapopen,
+                gapextend)
         self.score = score
         self.strand = strand
         self.do_homopolymer_filter = homopolyfilt
         self.trimmed = 0
-
         self.tok = AlignmentTokenizer(self.varseq, self.refrseq, cigar)
-        self.cigar = self.tok._cigar
+        self.cigar = self.tok.cigar
+        (self.vartype, self._lead, self._left, self._gap,
+         self._right) = _classify(self.tok.blocks)
 
-        if re.search(self.snvpattern, self.cigar):
-            self.vartype = 'snv'
-        elif re.search(self.indelpattern, self.cigar):
-            self.vartype = 'indel'
-
-    def __str__(self):
-        fulltarget, fullquery = '', ''
-        for token in self.tok.blocks:
-            fulltarget += token.target if token.target else '-' * token.length
-            fullquery += token.query if token.query else '-' * token.length
-        fullmatch = ''.join(
-            '|' if t == q else ' ' for t, q in zip(fulltarget, fullquery))
-        outlines = []
-        i = 0
-        while i < len(fulltarget):
-            outlines.append(fulltarget[i:i + 80])
-            outlines.append(fullmatch[i:i + 80])
-            outlines.append(fullquery[i:i + 80])
-            outlines.append('')
-            i += 80
-        return '\n'.join(outlines).strip()
-
-    @property
-    def interval(self):
-        return self.cutout.interval
-
-    @property
-    def ikmers(self):
-        for kmer in self.contig.annotations:
-            seq = self.contig.ikmerseq(kmer)
-            yield seq
-            yield kevlar_tpu.revcom(seq)
+    # -- sequence / coordinate views -----------------------------------------
 
     @property
     def varseq(self):
         assert self.strand in (-1, 1)
-        if self.strand == 1:
-            return self.contig.sequence
-        return kevlar_tpu.revcom(self.contig.sequence)
+        seq = self.contig.sequence
+        return seq if self.strand == 1 else kevlar_tpu.revcom(seq)
 
     @property
     def refrseq(self):
@@ -102,105 +107,91 @@ class VariantMapping:
         return self.cutout._startpos
 
     @property
+    def interval(self):
+        return self.cutout.interval
+
+    @property
     def offset(self):
+        """Target positions consumed by the leading block."""
         if self.vartype is None:
             return None
-        if self.tok.blocks[0].type == 'M':
-            return 0
-        return self.tok.blocks[0].length
+        return self._lead.length if self._lead else 0
 
     @property
     def targetshort(self):
         if self.vartype is None:
             return None
-        return self.tok.blocks[0].type == 'I'
+        return self._lead is not None and self._lead.type == 'I'
 
     @property
     def match(self):
-        if self.vartype != 'snv':
-            return None
-        i = 0 if self.tok.blocks[0].type == 'M' else 1
-        return self.tok.blocks[i]
+        return self._left if self.vartype == 'snv' else None
 
     @property
     def leftflank(self):
-        if self.vartype != 'indel':
-            return None
-        i = 0 if self.tok.blocks[0].type == 'M' else 1
-        return self.tok.blocks[i]
+        return self._left if self.vartype == 'indel' else None
 
     @property
     def indel(self):
-        if self.vartype != 'indel':
-            return None
-        i = 1 if self.tok.blocks[0].type == 'M' else 2
-        return self.tok.blocks[i]
+        return self._gap if self.vartype == 'indel' else None
 
     @property
     def indeltype(self):
-        if self.vartype != 'indel':
-            return None
-        return self.indel.type
+        return self._gap.type if self.vartype == 'indel' else None
 
     @property
     def rightflank(self):
-        if self.vartype != 'indel':
-            return None
-        i = -1 if self.tok.blocks[-1].type == 'M' else -2
-        return self.tok.blocks[i]
+        return self._right if self.vartype == 'indel' else None
+
+    @property
+    def ikmers(self):
+        for kmer in self.contig.annotations:
+            seq = self.contig.ikmerseq(kmer)
+            yield seq
+            yield kevlar_tpu.revcom(seq)
+
+    def __str__(self):
+        tline, qline = '', ''
+        for block in self.tok.blocks:
+            tline += block.target or '-' * block.length
+            qline += block.query or '-' * block.length
+        mline = ''.join('|' if t == q else ' '
+                        for t, q in zip(tline, qline))
+        panels = []
+        for lo in range(0, len(tline), 80):
+            panels.append('\n'.join((tline[lo:lo + 80], mline[lo:lo + 80],
+                                     qline[lo:lo + 80], '')))
+        return '\n'.join(panels).strip()
+
+    # -- filters ---------------------------------------------------------------
 
     def is_passenger(self, call):
         if call.window is None:
             return False
-        numikmers = sum(1 for k in self.ikmers if k in call.window)
-        return numikmers == 0
+        return not any(k in call.window for k in self.ikmers)
 
     def homopolymer_filter(self):
+        """An indel whose right flank opens with a 5-base run within its
+        first 7 bp is most likely a homopolymer artifact."""
         if not self.do_homopolymer_filter:
             return False
-        rf = self.rightflank
-        if rf is None or len(rf.target) < 5:
+        flank = self._right.target if self._right else None
+        if flank is None or len(flank) < 5:
             return False
-        rf = rf.target
-        poly4 = rf[0] * 5
-        return poly4 in rf[0:7]
+        return flank[0] * 5 in flank[:7]
+
+    # -- variant interpretation --------------------------------------------------
 
     def call_variants(self, ksize, mindist=6):
         """Yield variant calls (or no-calls) from this alignment."""
         if self.nocall:
             yield Variant('.', '.', '.', '.', CONTIG=self.contig.sequence,
                           IKMERS=str(len(self.contig.annotations)))
-            return
-        offset = 0 if self.targetshort else self.offset
-        if self.vartype == 'snv':
-            caller = self.call_snv(self.match.query, self.match.target,
-                                   offset, ksize, mindist)
-            for call in caller:
-                if self.is_passenger(call):
-                    call.filter(vf.PassengerVariant)
-                yield call
+        elif self.vartype == 'snv':
+            for call in self._substitutions(ksize, mindist):
+                yield self._passenger_checked(call)
         elif self.vartype == 'indel':
-            indelcaller = self.call_indel(ksize)
-            indel = next(indelcaller)
-            if self.is_passenger(indel):
-                indel.filter(vf.PassengerVariant)
-            if self.homopolymer_filter():
-                indel.filter(vf.Homopolymer)
-            yield indel
-
-            leftflankcaller = self.call_snv(
-                self.leftflank.query, self.leftflank.target, offset, ksize,
-                mindist, donocall=False)
-            offset += self.leftflank.length
-            if self.indeltype == 'D':
-                offset += self.indel.length
-            rightflankcaller = self.call_snv(
-                self.rightflank.query, self.rightflank.target, offset, ksize,
-                mindist, donocall=False)
-            for call in chain(leftflankcaller, rightflankcaller):
-                if self.is_passenger(call):
-                    call.filter(vf.PassengerVariant)
-                yield call
+            yield from self._indel_and_flanks(ksize, mindist)
         else:
             nocall = Variant(
                 self.seqid, self.pos, '.', '.', CONTIG=self.varseq,
@@ -208,89 +199,83 @@ class VariantMapping:
             nocall.filter(vf.InscrutableCigar)
             yield nocall
 
+    def _passenger_checked(self, call):
+        if self.is_passenger(call):
+            call.filter(vf.PassengerVariant)
+        return call
+
+    def _substitutions(self, ksize, mindist):
+        lead = 0 if self.targetshort else self.offset
+        yield from self.call_snv(self._left.query, self._left.target, lead,
+                                 ksize, mindist)
+
+    def _indel_and_flanks(self, ksize, mindist):
+        indel = next(self.call_indel(ksize))
+        self._passenger_checked(indel)
+        if self.homopolymer_filter():
+            indel.filter(vf.Homopolymer)
+        yield indel
+
+        # flank mismatches become additional SNV calls (never no-calls)
+        at = 0 if self.targetshort else self.offset
+        for call in self.call_snv(self._left.query, self._left.target, at,
+                                  ksize, mindist, donocall=False):
+            yield self._passenger_checked(call)
+        at += self._left.length
+        if self._gap.type == 'D':
+            at += self._gap.length
+        for call in self.call_snv(self._right.query, self._right.target, at,
+                                  ksize, mindist, donocall=False):
+            yield self._passenger_checked(call)
+
     def call_snv(self, qseq, tseq, offset, ksize, mindist=6, donocall=True):
-        """Call SNVs from aligned equal-length sequences."""
+        """Per-mismatch SNV calls from one aligned M block."""
         length = len(qseq)
         assert len(tseq) == length
         if length < ksize:
             return
-        diffs = [i for i in range(length) if tseq[i] != qseq[i]]
+        diffs = [i for i, (q, t) in enumerate(zip(qseq, tseq)) if q != t]
         if mindist:
             self.trimmed, diffs = trim_terminal_snvs(diffs, length, mindist)
-        if len(diffs) == 0 or len(diffs) > 4:
+        if not diffs or len(diffs) > 4:
             if donocall:
                 nocall = Variant(
                     self.seqid, self.cutout.local_to_global(offset), '.', '.',
                     CONTIG=qseq, CIGAR=self.cigar, KSW2=str(self.score),
                     IKMERS=str(len(self.contig.annotations)))
-                if len(diffs) == 0:
-                    nocall.filter(vf.PerfectMatch)
-                if len(diffs) > 4:
-                    nocall.filter(vf.NumerousMismatches)
+                nocall.filter(vf.PerfectMatch if not diffs
+                              else vf.NumerousMismatches)
                 yield nocall
             return
-
-        for pos in diffs:
-            minpos = max(pos - ksize + 1, 0)
-            maxpos = min(pos + ksize, length)
-            altwindow = qseq[minpos:maxpos]
-            refrwindow = tseq[minpos:maxpos]
-            refr = tseq[pos].upper()
-            alt = qseq[pos].upper()
-            localcoord = pos + offset
-            globalcoord = self.cutout.local_to_global(localcoord)
-            nikmers = n_ikmers_present(self.contig, altwindow)
-            snv = Variant(
-                self.seqid, globalcoord, refr, alt, CONTIG=qseq,
-                CIGAR=self.cigar, KSW2=str(self.score), IKMERS=str(nikmers),
+        for at in diffs:
+            lo = max(at - ksize + 1, 0)
+            hi = min(at + ksize, length)
+            altwindow, refrwindow = qseq[lo:hi], tseq[lo:hi]
+            yield Variant(
+                self.seqid, self.cutout.local_to_global(at + offset),
+                tseq[at].upper(), qseq[at].upper(), CONTIG=qseq,
+                CIGAR=self.cigar, KSW2=str(self.score),
+                IKMERS=str(n_ikmers_present(self.contig, altwindow)),
                 ALTWINDOW=altwindow, REFRWINDOW=refrwindow)
-            yield snv
 
     def call_indel(self, ksize):
-        if self.indeltype == 'D':
-            refrwindow = self.leftflank.target[-(ksize - 1):] \
-                + self.indel.target \
-                + self.rightflank.target[:(ksize - 1)]
-            refrallele = self.leftflank.target[-1] + self.indel.target
-            altwindow = self.leftflank.query[-(ksize - 1):] \
-                + self.rightflank.query[:(ksize - 1)]
-            altallele = self.leftflank.query[-1]
-        else:
-            refrwindow = self.leftflank.target[-(ksize - 1):] \
-                + self.rightflank.target[:(ksize - 1)]
-            refrallele = self.leftflank.target[-1]
-            altwindow = self.leftflank.query[-(ksize - 1):] \
-                + self.indel.query \
-                + self.rightflank.query[:(ksize - 1)]
-            altallele = self.leftflank.query[-1] + self.indel.query
-        nikmers = n_ikmers_present(self.contig, altwindow)
-        localcoord = 0 if self.targetshort else self.offset
-        localcoord += self.leftflank.length
-        globalcoord = self.cutout.local_to_global(localcoord)
-        indel = Variant(
-            self.seqid, globalcoord - 1, refrallele, altallele,
+        """The indel call: alleles anchored on the last left-flank base,
+        windows = (k-1) flank context around the gap sequence.
+
+        The gap block carries sequence on exactly one side (target for D,
+        query for I), so one symmetric expression covers both: the held-out
+        sequence joins the side that has it."""
+        left, gap, right = self._left, self._gap, self._right
+        wing = ksize - 1
+        refrwindow = (left.target[-wing:] + (gap.target or '') +
+                      right.target[:wing])
+        altwindow = (left.query[-wing:] + (gap.query or '') +
+                     right.query[:wing])
+        refr = left.target[-1] + (gap.target or '')
+        alt = left.query[-1] + (gap.query or '')
+        anchor = (0 if self.targetshort else self.offset) + left.length
+        yield Variant(
+            self.seqid, self.cutout.local_to_global(anchor) - 1, refr, alt,
             CONTIG=self.varseq, CIGAR=self.cigar, KSW2=str(self.score),
-            IKMERS=str(nikmers), ALTWINDOW=altwindow, REFRWINDOW=refrwindow)
-        yield indel
-
-
-def n_ikmers_present(record, window):
-    n = 0
-    for ikmer in record.annotations:
-        seq = record.ikmerseq(ikmer)
-        if seq in window:
-            n += 1
-        elif kevlar_tpu.revcom(seq) in window:
-            n += 1
-    return n
-
-
-def trim_terminal_snvs(mismatches, alnlength, mindist=5):
-    valid = []
-    trimcount = 0
-    for mm in mismatches:
-        if mm < mindist or alnlength - mm < mindist:
-            trimcount += 1
-        else:
-            valid.append(mm)
-    return trimcount, valid
+            IKMERS=str(n_ikmers_present(self.contig, altwindow)),
+            ALTWINDOW=altwindow, REFRWINDOW=refrwindow)

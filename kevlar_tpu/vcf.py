@@ -1,10 +1,10 @@
 """Variant records, filters, and VCF 4.2 reading/writing.
 
-Parity with /root/reference/kevlar/vcf.py: 0-based internal positions (+1 on
-write), the same INFO key vocabulary (ALTWINDOW, CIGAR, IKMERS, KSW2,
-REFRWINDOW, REFRCOPYNUM, CONTIG printed last, LIKESCORE, LLDN, LLIH, LLFP,
-DROPPED, PART, CALLCLASS), per-sample ALTABUND FORMAT data, the 11 FILTER
-codes, and the adjacent-SNV->MNV merge procedure.
+The INFO/FORMAT/FILTER vocabulary and header descriptions are an exchange
+contract shared with the reference implementation (kevlar/vcf.py:25-36,
+262-424) and must stay byte-identical; the record model, merge procedure,
+and reader/writer logic here are original. Positions are 0-based
+internally and shifted +1 on write.
 """
 
 from collections import defaultdict
@@ -37,27 +37,26 @@ class VariantFilter(Enum):
 
 
 class FormattedList(list):
-    """List that renders to VCF text (floats at 3 decimals)."""
+    """List that renders to VCF text: floats at 3 decimals, one homogeneous
+    element type enforced, empty renders as '.'."""
 
     def __str__(self):
-        types = set(type(v) for v in self)
-        if len(types) == 0:
+        kinds = {type(v) for v in self}
+        if not kinds:
             return '.'
-        elif len(types) > 1:
-            typelist = sorted(str(t) for t in types)
+        if len(kinds) > 1:
             raise KevlarMixedDataTypeError(
-                'mixed data type: ' + ','.join(typelist))
-        else:
-            listtype = next(iter(types))
-            if listtype in (float, np.float64, np.float32):
-                strlist = ['{:.3f}'.format(v) for v in self]
-            else:
-                strlist = [str(v) for v in self]
-            return ','.join(strlist)
+                'mixed data type: ' +
+                ','.join(sorted(str(k) for k in kinds)))
+        kind = kinds.pop()
+        if kind in (float, np.float64, np.float32):
+            return ','.join('{:.3f}'.format(v) for v in self)
+        return ','.join(str(v) for v in self)
 
 
 class Variant:
-    """A variant call or no-call."""
+    """A variant call or no-call: alleles + INFO annotations + per-sample
+    FORMAT data + filter set."""
 
     def __init__(self, seqid, pos, refr, alt, **kwargs):
         self._seqid = seqid
@@ -66,77 +65,11 @@ class Variant:
         self._alt = alt
         self._filters = set()
         self.info = defaultdict(FormattedList)
+        self._sample_data = defaultdict(dict)
         for key, value in kwargs.items():
             self.annotate(key, value)
-        self._sample_data = defaultdict(dict)
 
-    def __str__(self):
-        if len(self._refr) == 1 and len(self._alt) == 1:
-            return '{:s}:{:d}:{:s}->{:s}'.format(self._seqid, self._pos,
-                                                 self._refr, self._alt)
-        else:
-            pos = self._pos + 1
-            if len(self._refr) > len(self._alt):
-                dellength = len(self._refr) - len(self._alt)
-                return '{:s}:{:d}:{:d}D'.format(self._seqid, pos, dellength)
-            else:
-                return '{:s}:{:d}:I->{:s}'.format(self._seqid, pos,
-                                                  self._alt[1:])
-
-    def format(self, sample, key, value_to_store=None):
-        if value_to_store is None:
-            if sample not in self._sample_data:
-                return None
-            return self._sample_data[sample].get(key)
-        self._sample_data[sample][key] = value_to_store
-
-    @property
-    def seqid(self):
-        return self._seqid
-
-    @property
-    def position(self):
-        return self._pos
-
-    @property
-    def region(self):
-        return self.seqid, self.position, self.position + len(self._refr)
-
-    @property
-    def vcf(self):
-        attrstr = '.'
-        if len(self.info) > 0:
-            kvpairs = []
-            for key in sorted(self.info):
-                if key != 'CONTIG':
-                    kvpairs.append(self.attribute(key, pair=True))
-            queryseq = self.attribute('CONTIG', pair=True)
-            if queryseq:
-                kvpairs.append(queryseq)
-            attrstr = ';'.join(kvpairs)
-        pos = self.position
-        if pos != '.':
-            pos += 1
-        return '{:s}\t{}\t.\t{:s}\t{:s}\t.\t{:s}\t{:s}'.format(
-            self._seqid, pos, self._refr, self._alt, self.filterstr, attrstr)
-
-    @property
-    def cigar(self):
-        return self.attribute('CIGAR')
-
-    @property
-    def window(self):
-        """Contig interval spanning all k-mers overlapping the alt allele."""
-        return self.attribute('ALTWINDOW')
-
-    @property
-    def windowlength(self):
-        window = self.window
-        return 0 if window is None else len(window)
-
-    @property
-    def refrwindow(self):
-        return self.attribute('REFRWINDOW')
+    # -- annotation surface -------------------------------------------------
 
     def annotate(self, key, value, replace=True):
         if replace:
@@ -154,52 +87,105 @@ class Variant:
             return str(values)
         return values[0] if len(values) == 1 else values
 
+    def format(self, sample, key, value_to_store=None):
+        if value_to_store is None:
+            if sample not in self._sample_data:
+                return None
+            return self._sample_data[sample].get(key)
+        self._sample_data[sample][key] = value_to_store
+
     def filter(self, filtertype):
         if isinstance(filtertype, VariantFilter):
             self._filters.add(filtertype)
 
+    # -- views --------------------------------------------------------------
+
     @property
-    def filterstr(self):
-        if len(self._filters) > 0:
-            return ';'.join(sorted(vf.name for vf in self._filters))
-        elif self._refr == '.':
-            return '.'
-        return 'PASS'
+    def seqid(self):
+        return self._seqid
+
+    @property
+    def position(self):
+        return self._pos
+
+    @property
+    def region(self):
+        return self._seqid, self._pos, self._pos + len(self._refr)
+
+    @property
+    def cigar(self):
+        return self.attribute('CIGAR')
+
+    @property
+    def window(self):
+        """Contig interval spanning all k-mers overlapping the alt allele."""
+        return self.attribute('ALTWINDOW')
+
+    @property
+    def refrwindow(self):
+        return self.attribute('REFRWINDOW')
+
+    @property
+    def windowlength(self):
+        window = self.window
+        return len(window) if window is not None else 0
 
     @property
     def genotypes(self):
         gt = self.attribute('GT')
-        if not gt:
-            return None
-        return tuple(gt.split(','))
+        return tuple(gt.split(',')) if gt else None
+
+    @property
+    def filterstr(self):
+        if self._filters:
+            return ';'.join(sorted(vf.name for vf in self._filters))
+        return 'PASS' if self._refr != '.' else '.'
+
+    def __str__(self):
+        if len(self._refr) == 1 == len(self._alt):
+            return '{:s}:{:d}:{:s}->{:s}'.format(
+                self._seqid, self._pos, self._refr, self._alt)
+        shift = self._pos + 1
+        if len(self._refr) > len(self._alt):
+            return '{:s}:{:d}:{:d}D'.format(
+                self._seqid, shift, len(self._refr) - len(self._alt))
+        return '{:s}:{:d}:I->{:s}'.format(self._seqid, shift, self._alt[1:])
+
+    @property
+    def vcf(self):
+        """One VCF body row (through the INFO column). CONTIG sorts last so
+        the long sequence doesn't bury the scalar annotations."""
+        info = '.'
+        if self.info:
+            ordered = sorted(self.info, key=lambda k: (k == 'CONTIG', k))
+            info = ';'.join(self.attribute(k, pair=True) for k in ordered)
+        pos = self._pos if self._pos == '.' else self._pos + 1
+        return '{:s}\t{}\t.\t{:s}\t{:s}\t.\t{:s}\t{:s}'.format(
+            self._seqid, pos, self._refr, self._alt, self.filterstr, info)
+
+    # -- MNV merging ----------------------------------------------------------
 
     def test_merge(self, other):
-        """Merge an immediately adjacent SNV into an MNV (in place)."""
-        if self.seqid == '.':
+        """Absorb an immediately adjacent compatible SNV/MNV into this one
+        (in place); returns self on success, None otherwise."""
+        span = len(self._refr)
+        mergeable = (
+            self._seqid != '.' and
+            self._seqid == other._seqid and
+            len(self._alt) == span and
+            len(other._alt) == len(other._refr) and
+            self._pos + span == other._pos and
+            None not in (self.window, other.window,
+                         self.refrwindow, other.refrwindow) and
+            self.window[span:] == other.window[:-1] and
+            self.refrwindow[span:] == other.refrwindow[:-1]
+        )
+        if not mergeable:
             return None
-        if self.seqid != other.seqid:
-            return None
-        if len(self._alt) != len(self._refr):
-            return None
-        if len(other._alt) != len(other._refr):
-            return None
-        length = len(self._refr)
-        if self.position != other.position - length:
-            return None
-        if self.window is None or other.window is None:
-            return None
-        if self.refrwindow is None or other.refrwindow is None:
-            return None
-        if self.window[length:] != other.window[:-1]:
-            return None
-        if self.refrwindow[length:] != other.refrwindow[:-1]:
-            return None
-        self.info['ALTWINDOW'] = FormattedList(
-            [self.window + other.window[-length]])
-        self.info['REFRWINDOW'] = FormattedList(
-            [self.refrwindow + other.refrwindow[-length]])
-        self._alt = self._alt + other._alt
-        self._refr = self._refr + other._refr
+        self.annotate('ALTWINDOW', self.window + other.window[-span])
+        self.annotate('REFRWINDOW', self.refrwindow + other.refrwindow[-span])
+        self._refr += other._refr
+        self._alt += other._alt
         return self
 
 
@@ -295,52 +281,54 @@ class VCFWriter:
         self.format_metadata[label] = (datatype, datanumber, desc)
 
     def write_header(self, skipdate=False):
-        print('##fileformat=VCFv4.2', file=self._out)
+        out = self._out
+        print('##fileformat=VCFv4.2', file=out)
         if not skipdate:
-            print('##fileDate', date.today().isoformat(), sep='=',
-                  file=self._out)
+            print('##fileDate=' + date.today().isoformat(), file=out)
         if self._source:
-            print('##source', self._source, sep='=', file=self._out)
+            print('##source=' + self._source, file=out)
         if self._refr:
-            print('##reference', self._refr, sep='=', file=self._out)
+            print('##reference=' + self._refr, file=out)
         for filt in VariantFilter:
             print('##FILTER=<ID={},Description="{}">'.format(
-                filt.name, self.filter_desc[filt]), file=self._out)
-        for label, (itype, inumber, idesc) in self.info_metadata.items():
+                filt.name, self.filter_desc[filt]), file=out)
+        for label, (dtype, num, desc) in self.info_metadata.items():
             print('##INFO=<ID={},Number={},Type={},Description="{}">'.format(
-                label, inumber, itype, idesc), file=self._out)
-        for label, (itype, inumber, idesc) in self.format_metadata.items():
-            print('##FORMAT=<ID={},Number={},Type={},Description="{}">'.format(
-                label, inumber, itype, idesc), file=self._out)
-        print('#', end='', file=self._out)
-        fields = ['CHROM', 'POS', 'ID', 'REF', 'ALT', 'QUAL', 'FILTER', 'INFO']
-        if len(self._sample_labels) > 0:
-            fields += ['FORMAT'] + self._sample_labels
-        print(*fields, sep='\t', file=self._out)
+                label, num, dtype, desc), file=out)
+        for label, (dtype, num, desc) in self.format_metadata.items():
+            print('##FORMAT=<ID={},Number={},Type={},Description="{}">'
+                  .format(label, num, dtype, desc), file=out)
+        columns = ['CHROM', 'POS', 'ID', 'REF', 'ALT', 'QUAL', 'FILTER',
+                   'INFO']
+        if self._sample_labels:
+            columns += ['FORMAT'] + self._sample_labels
+        print('#' + '\t'.join(columns), file=out)
 
-    def write(self, variant):
-        fmt_fields = []
-        outfmt = None
+    def _sample_columns(self, variant):
+        """(FORMAT string, per-sample value columns); every sample must
+        carry the same FORMAT fields."""
+        formatstr = None
+        columns = []
         for sample in self._sample_labels:
-            fmt = []
-            values = []
-            for field in sorted(self.format_metadata.keys()):
-                value = variant.format(sample, field)
-                if value:
-                    fmt.append(field)
-                    values.append(value)
-            fmtstr = ':'.join(fmt)
-            if outfmt is None:
-                outfmt = fmtstr
-            elif outfmt != fmtstr:
+            present = [(field, variant.format(sample, field))
+                       for field in sorted(self.format_metadata)]
+            present = [(f, v) for f, v in present if v]
+            fstr = ':'.join(f for f, _ in present)
+            if formatstr is None:
+                formatstr = fstr
+            elif formatstr != fstr:
                 raise VariantAnnotationError(
                     'samples not annotated with the same FORMAT fields '
-                    '({:s} vs {:s})'.format(outfmt, fmtstr))
-            fmt_fields.append(':'.join(values))
-        print(variant.vcf, end='', file=self._out)
-        if len(fmt_fields) > 0:
-            print('', outfmt, *fmt_fields, sep='\t', end='', file=self._out)
-        print('\n', end='', file=self._out)
+                    '({:s} vs {:s})'.format(formatstr, fstr))
+            columns.append(':'.join(v for _, v in present))
+        return formatstr, columns
+
+    def write(self, variant):
+        row = variant.vcf
+        if self._sample_labels:
+            formatstr, columns = self._sample_columns(variant)
+            row = '\t'.join([row, formatstr] + columns)
+        print(row, file=self._out)
 
 
 class VCFReader:
@@ -349,15 +337,38 @@ class VCFReader:
         self._sample_labels = []
         self.suppress_filter_warnings = False
 
-    def _variant_from_vcf_string(self, vcfstr):
+    def _parse_filters(self, variant, filterstr):
         import kevlar_tpu
-        fields = vcfstr.strip().split('\t')
-        seqid = fields[0]
+        if filterstr in ('.', 'PASS'):
+            return
+        for label in filterstr.split(';'):
+            if hasattr(VariantFilter, label):
+                variant.filter(VariantFilter[label])
+            elif not self.suppress_filter_warnings:
+                kevlar_tpu.plog(
+                    '[kevlar::vcf]',
+                    'filter "{}" not recognized; attempting to write this '
+                    'variant to VCF will probably turn out poorly'.format(
+                        filterstr))
+
+    def _parse_samples(self, variant, fmtcol, samplecols, line):
+        keys = fmtcol.split(':')
+        if self._sample_labels and \
+                len(samplecols) != len(self._sample_labels):
+            raise VariantAnnotationError('sample number mismatch: ' + line)
+        for label, data in zip(self._sample_labels, samplecols):
+            if data in ('.', './.'):
+                continue
+            values = data.split(':')
+            if len(keys) != len(values):
+                raise VariantAnnotationError('format data mismatch: ' + line)
+            for key, value in zip(keys, values):
+                variant.format(label, key, value)
+
+    def _parse_row(self, line):
+        fields = line.strip().split('\t')
         pos = '.' if fields[1] == '.' else int(fields[1]) - 1
-        refr = fields[3]
-        alt = fields[4]
-        filterstr = fields[6]
-        variant = Variant(seqid, pos, refr, alt)
+        variant = Variant(fields[0], pos, fields[3], fields[4])
         for kvp in fields[7].split(';'):
             if '=' in kvp:
                 key, values = kvp.split('=')
@@ -365,62 +376,33 @@ class VCFReader:
                     variant.annotate(key, value)
             else:
                 variant.annotate(kvp, True)
-        if filterstr not in ('.', 'PASS'):
-            for filterlabel in filterstr.split(';'):
-                if hasattr(VariantFilter, filterlabel):
-                    variant.filter(VariantFilter[filterlabel])
-                elif not self.suppress_filter_warnings:
-                    message = 'filter "{}" not recognized'.format(filterstr)
-                    message += '; attempting to write this variant to VCF'
-                    message += ' will probably turn out poorly'
-                    kevlar_tpu.plog('[kevlar::vcf]', message)
+        self._parse_filters(variant, fields[6])
         if len(fields) > 9:
-            fmtkeys = fields[8].split(':')
-            sample_data = fields[9:]
-            n_ann_samples = len(self._sample_labels)
-            if n_ann_samples > 0 and len(sample_data) != n_ann_samples:
-                raise VariantAnnotationError(
-                    'sample number mismatch: ' + vcfstr)
-            for label, data in zip(self._sample_labels, sample_data):
-                if data in ('.', './.'):
-                    continue
-                fmtvalues = data.split(':')
-                if len(fmtkeys) != len(fmtvalues):
-                    raise VariantAnnotationError(
-                        'format data mismatch: ' + vcfstr)
-                for datakey, datavalue in zip(fmtkeys, fmtvalues):
-                    variant.format(label, datakey, datavalue)
+            self._parse_samples(variant, fields[8], fields[9:], line)
         return variant
 
     def __iter__(self):
         import kevlar_tpu
         for line in self._in:
-            if not line.startswith('#'):
-                message = 'WARNING: VCF file has no samples annotated'
-                message += ', certain sanity checks disabled'
-                kevlar_tpu.plog('[kevlar::vcf]', message)
-                yield self._variant_from_vcf_string(line)
+            if line.startswith('#CHROM\t'):
+                columns = line.strip().split('\t')
+                assert len(columns) >= 8
+                if len(columns) > 8:
+                    self._sample_labels = columns[9:]
                 break
-            if not line.startswith('#CHROM\t'):
-                continue
-            self._save_samples(line)
-            break
+            if not line.startswith('#'):
+                kevlar_tpu.plog(
+                    '[kevlar::vcf]',
+                    'WARNING: VCF file has no samples annotated, certain '
+                    'sanity checks disabled')
+                yield self._parse_row(line)
+                break
         for line in self._in:
-            if line.startswith('#'):
-                continue
-            yield self._variant_from_vcf_string(line)
-
-    def _save_samples(self, line):
-        fields = line.strip().split('\t')
-        assert len(fields) >= 8
-        if len(fields) == 8:
-            return
-        self._sample_labels = fields[9:]
+            if not line.startswith('#'):
+                yield self._parse_row(line)
 
 
 def vcfstream(filelist):
     import kevlar_tpu
     for infile in filelist:
-        reader = VCFReader(kevlar_tpu.open(infile, 'r'))
-        for record in reader:
-            yield record
+        yield from VCFReader(kevlar_tpu.open(infile, 'r'))

@@ -27,7 +27,7 @@ def test_cigar_endcheck_merges_trailing_match():
     target = 'A' * 50 + 'C' * 98 + ('CC' + 'G' * 48) + 'GG'
     query = 'C' * 100
     tok = AlignmentTokenizer(query, target, '50D98M50D2M')
-    assert tok._cigar == '50D100M50D'
+    assert tok.cigar == '50D100M50D'
 
 
 def test_cigar_endcheck_realistic():
@@ -40,7 +40,7 @@ def test_cigar_endcheck_realistic():
     cigar, score = align_numpy(g, contig)
     assert cigar == '50D98M50D2M'  # ksw2 trailing-M artifact
     tok = AlignmentTokenizer(contig, g, cigar)
-    assert tok._cigar == '50D100M50D'
+    assert tok.cigar == '50D100M50D'
     assert tok.blocks[1].length == 100
 
 

@@ -227,7 +227,7 @@ def test_cigar_nomargin():
                                'nomargin-r-gdna.fa')
     cigar, score = align(target.sequence, query.sequence)
     tok = AlignmentTokenizer(query.sequence, target.sequence, cigar)
-    assert tok._cigar == tok._origcigar
+    assert tok.cigar == tok.origcigar
 
 
 @needsdata
@@ -244,8 +244,8 @@ def test_cigar_gap_center_aligned(contig, gdna, newcigar, origcigar,
     cigar, score = align(target.sequence, query.sequence)
     tok = AlignmentTokenizer(query.sequence, target.sequence, cigar)
     assert len(tok.blocks) == nblocks
-    assert tok._cigar == newcigar
-    assert tok._origcigar == origcigar
+    assert tok.cigar == newcigar
+    assert tok.origcigar == origcigar
 
 
 # ----------------------------------------------------------------------
