@@ -53,6 +53,22 @@ class ReadBatch:
         return len(self.records)
 
 
+def chunk_long_records(recordstream, limit=1024, overlap=0):
+    """Split records longer than ``limit`` into windows sharing ``overlap``
+    characters (overlap = ksize-1 keeps every k-mer in exactly one window);
+    short records pass through untouched. For counting genome-scale FASTA
+    records on fixed-shape device batches."""
+    from kevlar_tpu.sequence import Record
+    step = max(1, limit - overlap)
+    for record in recordstream:
+        seq = record.sequence
+        if len(seq) <= limit:
+            yield record
+            continue
+        for lo in range(0, len(seq) - overlap, step):
+            yield Record(name=record.name, sequence=seq[lo:lo + limit])
+
+
 def batches_from_records(recordstream, batch_size=DEFAULT_BATCH_SIZE,
                          min_length=None):
     """Group a record stream into ReadBatches (per length bucket).
@@ -72,16 +88,19 @@ def batches_from_records(recordstream, batch_size=DEFAULT_BATCH_SIZE,
             yield ReadBatch(pending[b], pad_to=b, pad_rows=batch_size)
 
 
-def native_base_batches(path, batch_size=DEFAULT_BATCH_SIZE, max_len=1024):
+def native_base_batches(path, batch_size=DEFAULT_BATCH_SIZE, max_len=1024,
+                        overlap=0):
     """Stream fixed-shape [batch_size, bucket] base batches via the native
     parser (no per-read Python objects).  The column bucket adapts to the
     longest read seen so far (never shrinks), keeping the number of compiled
-    kernel shapes small.  Falls back by raising ImportError when the native
-    library is unavailable.
+    kernel shapes small.  Records longer than ``max_len`` chunk into rows
+    sharing ``overlap`` characters (pass ksize-1 so genome-scale FASTA
+    records lose no k-mers).  Falls back by raising ImportError when the
+    native library is unavailable.
     """
     from kevlar_tpu import native
     reader = native.FastxBatchReader(path, max_reads=batch_size,
-                                     max_len=max_len)
+                                     max_len=max_len, overlap=overlap)
     bucket = 0
     for out in reader:
         bases, lengths = out[0], out[1]

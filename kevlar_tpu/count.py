@@ -28,8 +28,9 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
     into padded device batches); falls back to the Python parser.
     """
     import numpy as np
-    from kevlar_tpu.batch import native_base_batches
+    from kevlar_tpu.batch import chunk_long_records, native_base_batches
     numreads = 0
+    wing = sketch.ksize() - 1  # chunk genome-scale records losslessly
     threshold = 1 if consume_masked else maskmaxabund
     stack_depth = 8
     pending = {}
@@ -78,10 +79,12 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
 
     for seqfile in seqfiles:
         try:
-            for bases, lengths in native_base_batches(seqfile, batch_size):
+            for bases, lengths in native_base_batches(seqfile, batch_size,
+                                                      overlap=wing):
                 consume(bases, len(lengths))
         except ImportError:
-            stream = seqio.multi_file_iter([seqfile])
+            stream = chunk_long_records(
+                seqio.multi_file_iter([seqfile]), overlap=wing)
             for batch in batches_from_records(stream, batch_size=batch_size):
                 consume(batch.bases, len(batch))
     for shape in list(pending):

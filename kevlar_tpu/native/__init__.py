@@ -57,6 +57,8 @@ def load(auto_build=True):
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p]
+    lib.kt_fastx_set_overlap.restype = None
+    lib.kt_fastx_set_overlap.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.kt_fastx_close.argtypes = [ctypes.c_void_p]
     lib.kt_align.restype = ctypes.c_int
     lib.kt_align.argtypes = [
@@ -86,7 +88,8 @@ def available():
 class FastxBatchReader:
     """Stream [max_reads, max_len] padded base batches from a FASTX file."""
 
-    def __init__(self, path, max_reads=4096, max_len=1024, want_quals=False):
+    def __init__(self, path, max_reads=4096, max_len=1024, want_quals=False,
+                 overlap=0):
         lib = load()
         if lib is None:
             raise ImportError('native library unavailable')
@@ -94,6 +97,10 @@ class FastxBatchReader:
         self._handle = lib.kt_fastx_open(path.encode())
         if not self._handle:
             raise IOError('cannot open ' + path)
+        if overlap:
+            # records longer than max_len chunk into overlapping rows
+            # (overlap = ksize-1 keeps every k-mer in exactly one row)
+            lib.kt_fastx_set_overlap(self._handle, int(overlap))
         self.max_reads = max_reads
         self.max_len = max_len
         self.want_quals = want_quals

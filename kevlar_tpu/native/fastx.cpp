@@ -31,6 +31,11 @@ struct FastxReader {
     std::string pending;      // buffered line (lookahead)
     bool have_pending = false;
     std::vector<char> buf;
+    // long-record chunking: sequences longer than max_len are emitted as
+    // consecutive rows sharing `overlap` characters (k-1 keeps every k-mer
+    // in exactly one row); the unemitted tail waits here
+    int overlap = 0;
+    std::string carry_name, carry_seq, carry_qual;
 
     bool getline(std::string &out) {
         if (have_pending) {
@@ -83,6 +88,11 @@ void *kt_fastx_open(const char *path) {
     return r;
 }
 
+void kt_fastx_set_overlap(void *h, int overlap) {
+    auto *r = static_cast<FastxReader *>(h);
+    if (r && overlap >= 0) r->overlap = overlap;
+}
+
 void kt_fastx_close(void *h) {
     auto *r = static_cast<FastxReader *>(h);
     if (r) {
@@ -99,31 +109,49 @@ int kt_fastx_next_batch(void *h, int max_reads, int max_len, uint8_t *bases,
     int n = 0;
     int names_used = 0;
     std::string line, seq, name, qual;
-    while (n < max_reads && r->getline(line)) {
-        if (line.empty()) continue;
-        qual.clear();
-        if (line[0] == '@') {          // FASTQ
-            name = line.substr(1);
-            if (!r->getline(seq)) return -1;
-            std::string plus;
-            if (!r->getline(plus)) return -1;   // '+'
-            if (!r->getline(qual)) return -1;   // quality (len == seq)
-        } else if (line[0] == '>') {   // FASTA (possibly multi-line)
-            name = line.substr(1);
-            seq.clear();
-            std::string next;
-            while (r->getline(next)) {
-                if (!next.empty() && (next[0] == '>' || next[0] == '@')) {
-                    r->ungetline(next);
-                    break;
-                }
-                seq += next;
-            }
+    while (n < max_reads) {
+        if (!r->carry_seq.empty()) {   // resume a chunked long record
+            name = r->carry_name;
+            seq.swap(r->carry_seq);
+            qual.swap(r->carry_qual);
+            r->carry_seq.clear();
+            r->carry_qual.clear();
         } else {
-            return -1;  // unrecognized format
+            if (!r->getline(line)) break;
+            if (line.empty()) continue;
+            qual.clear();
+            if (line[0] == '@') {          // FASTQ
+                name = line.substr(1);
+                if (!r->getline(seq)) return -1;
+                std::string plus;
+                if (!r->getline(plus)) return -1;   // '+'
+                if (!r->getline(qual)) return -1;   // quality (len == seq)
+            } else if (line[0] == '>') {   // FASTA (possibly multi-line)
+                name = line.substr(1);
+                seq.clear();
+                std::string next;
+                while (r->getline(next)) {
+                    if (!next.empty() && (next[0] == '>' || next[0] == '@')) {
+                        r->ungetline(next);
+                        break;
+                    }
+                    seq += next;
+                }
+            } else {
+                return -1;  // unrecognized format
+            }
         }
         int L = (int)seq.size();
-        if (L > max_len) L = max_len;  // truncate overly long reads
+        if (L > max_len) {
+            // emit max_len now; park the remainder (with k-1 overlap so no
+            // k-mer straddles an emission boundary) for the next row
+            int ov = r->overlap < max_len - 1 ? r->overlap : max_len - 1;
+            int step = max_len - ov;
+            r->carry_name = name;
+            r->carry_seq = seq.substr(step);
+            if ((int)qual.size() > step) r->carry_qual = qual.substr(step);
+            L = max_len;
+        }
         uint8_t *row = bases + (size_t)n * max_len;
         for (int i = 0; i < L; ++i) row[i] = g_code[(uint8_t)seq[i]];
         lengths[n] = L;
