@@ -413,6 +413,11 @@ def load(filename):
     if not filename.endswith(extensions):
         message = 'unable to determine sketch type from filename ' + filename
         raise KevlarSketchTypeError(message)
+    from kevlar_tpu import oxli
+    if oxli.is_oxli_file(filename):
+        # khmer-format sketch from the reference toolchain: load through
+        # the bit-exact compatibility engine (hash + primes + layout)
+        return oxli.OxliSketch.load(filename)
     sketch = Sketch.load_file(filename)
     ext = '.' + filename.split('.')[-1]
     expected_bits = COUNTER_BITS_BY_EXTENSION[ext]
