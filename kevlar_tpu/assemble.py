@@ -2,14 +2,14 @@
 
 The reference bridges to the fermi-lite C library (FMD-index + unitig graph,
 /root/reference/kevlar/assembly.pyx + third-party/fermi-lite).  Here the
-default engine is a greedy overlap-merge assembler built on the same
-perfect-overlap pair logic the reference uses for strict-mode edge validation
-(ReadPair merge, readpair.py:156-170): reads anchored by a shared interesting
-k-mer are merged when their overlap matches perfectly, iterating to
-convergence.  Partitioned read sets are small (<= --max-reads, default
-10000, typically dozens), and kevlar's inputs are expected to be
-error-corrected upstream (the mark-I workflow runs error correction before
-counting), so perfect-overlap merging recovers the variant-spanning contig.
+default engine is native/asm.cpp: spectral error correction plus an
+exact-overlap string graph with fermi-class cleaning (tip removal, weak-edge
+pruning, open/simple bubble popping) — reference-pinned contig parity is
+exercised in tests/test_assemble_graph.py.  The pure-Python fallback is a
+greedy overlap-merge assembler built on the same perfect-overlap pair logic
+the reference uses for strict-mode edge validation (ReadPair merge,
+readpair.py:156-170), sufficient for the small error-corrected partitions
+kevlar feeds it when the native library is unavailable.
 
 Contigs are re-annotated with interesting k-mers via ``augment`` exactly as
 the reference does (assemble.py:14-20).
@@ -103,7 +103,7 @@ def greedy_asm(records):
             yield rec.sequence
 
 
-def fml_asm(records, min_overlap=45):
+def fml_asm(records, min_overlap=33):
     """Assembler entry point (name kept for parity with the reference's
     fermi-lite bridge).  Uses the native C++ overlap assembler when built,
     falling back to the annotation-anchored greedy merger."""
