@@ -45,6 +45,10 @@ def _count_subparser(subparsers):
     sp.add_argument('--num-bands', type=int, metavar='N', default=None)
     sp.add_argument('--band', type=int, metavar='I', default=None,
                     help='band between 1 and N (inclusive) to process')
+    sp.add_argument('--shards', type=int, metavar='S', default=None,
+                    help='hash-shard the count table across S devices of '
+                    'the mesh (supersedes banding; remaining devices become '
+                    'the data-parallel axis)')
     sp.add_argument('-t', '--threads', type=int, default=1, metavar='T')
     sp.add_argument('counttable', type=str, help='output count table file')
     sp.add_argument('seqfile', type=str, nargs='+',
@@ -71,6 +75,10 @@ def _novel_subparser(subparsers):
     sp.add_argument('--max-fpr', type=float, default=0.2, metavar='FPR')
     sp.add_argument('--num-bands', type=int, metavar='N', default=None)
     sp.add_argument('--band', type=int, metavar='I', default=None)
+    sp.add_argument('--shards', type=int, metavar='S', default=None,
+                    help='hash-shard every sample sketch across S devices '
+                    'and run the novel screen as one SPMD program '
+                    '(supersedes banding)')
     sp.add_argument('-o', '--out', metavar='FILE')
     sp.add_argument('--save-case-counts', metavar='CT', nargs='+')
     sp.add_argument('--save-ctrl-counts', metavar='CT', nargs='+')

@@ -108,8 +108,10 @@ def load_sample_seqfile(seqfiles, ksize, memory, maxfpr=0.2, count=True,
         from kevlar_tpu.parallel import ShardedSketch
         from kevlar_tpu.sketch import BUCKETS_PER_BYTE
         tablesize = int(memory) // 4 * BUCKETS_PER_BYTE[counter_bits]
+        # exact hash space: abundances (and the saved counttable) are
+        # bit-identical to the unsharded stage at the same --memory
         sketch = ShardedSketch(mesh, ksize, max(tablesize, 1), 4,
-                               counter_bits=counter_bits)
+                               counter_bits=counter_bits, exact=True)
     else:
         sketch = allocate_from_memory(ksize, memory, num_tables=4,
                                       counter_bits=counter_bits)
@@ -162,10 +164,22 @@ def main(args):
     if (args.num_bands is None) is not (args.band is None):
         raise ValueError('Must specify --num-bands and --band together')
     myband = args.band - 1 if args.band else None
+    mesh = None
+    if getattr(args, 'shards', None):
+        if args.num_bands:
+            raise ValueError('banding and --shards are mutually exclusive: '
+                             'hash-space sharding supersedes banding')
+        from kevlar_tpu.parallel import make_mesh
+        mesh = make_mesh(n_shard=args.shards)
+        kevlar_tpu.plog('[kevlar::count] sharding the sketch over mesh',
+                        dict(mesh.shape))
     mask = None
     if args.mask:
         from kevlar_tpu import sketch as sketch_mod
         mask = sketch_mod.load(args.mask)
+        if mesh is not None:
+            from kevlar_tpu.parallel import ShardedSketch
+            mask = ShardedSketch.from_sketch(mesh, mask)
     print_config(args)
 
     timer = kevlar_tpu.Timer()
@@ -176,7 +190,7 @@ def main(args):
         args.seqfile, args.ksize, args.memory, args.max_fpr, count=docount,
         smallcount=dosmallcount, mask=mask,
         consume_masked=args.count_masked, numbands=args.num_bands, band=myband,
-        numthreads=args.threads, outfile=args.counttable)
+        numthreads=args.threads, outfile=args.counttable, mesh=mesh)
     total = timer.stop()
     kevlar_tpu.plog(
         '[kevlar::count] Total time: {:.2f} seconds'.format(total))

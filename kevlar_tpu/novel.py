@@ -96,7 +96,7 @@ def native_read_batches(files, batch_size, max_len=1024):
 
 def load_samples(counttables=None, filelists=None, ksize=31, memory=1e6,
                  maxfpr=0.2, numbands=None, band=None, numthreads=1,
-                 outfilelist=None):
+                 outfilelist=None, mesh=None):
     from kevlar_tpu import count as count_mod
     from kevlar_tpu import sketch as sketch_mod
     assert counttables or filelists
@@ -105,12 +105,16 @@ def load_samples(counttables=None, filelists=None, ksize=31, memory=1e6,
             len(counttables))
         message += ', any corresponding FASTA/FASTQ input will be ignored'
         kevlar_tpu.plog('[kevlar::novel]    INFO:', message)
-        return sketch_mod.load_sketchfiles(counttables, maxfpr)
+        samples = sketch_mod.load_sketchfiles(counttables, maxfpr)
+        if mesh is not None:
+            from kevlar_tpu.parallel import ShardedSketch
+            samples = [ShardedSketch.from_sketch(mesh, s) for s in samples]
+        return samples
     samples = []
     for filelist in filelists:
         sample = count_mod.load_sample_seqfile(
             filelist, ksize, memory, maxfpr=maxfpr, numbands=numbands,
-            band=band, numthreads=numthreads)
+            band=band, numthreads=numthreads, mesh=mesh)
         samples.append(sample)
     if outfilelist:
         save_counts(outfilelist, samples)
@@ -308,17 +312,26 @@ def main(args):
     if (not args.num_bands) is not (not args.band):
         raise ValueError('Must specify --num-bands and --band together')
     myband = args.band - 1 if args.band else None
+    mesh = None
+    if getattr(args, 'shards', None):
+        if args.num_bands:
+            raise ValueError('banding and --shards are mutually exclusive: '
+                             'hash-space sharding supersedes banding')
+        from kevlar_tpu.parallel import make_mesh
+        mesh = make_mesh(n_shard=args.shards)
+        kevlar_tpu.plog('[kevlar::novel] sharding sample sketches over mesh',
+                        dict(mesh.shape))
 
     kevlar_tpu.plog('[kevlar::novel] Loading control samples')
     controls = load_samples(
         args.control_counts, args.control, args.ksize, args.memory,
         args.max_fpr, args.num_bands, myband, args.threads,
-        args.save_ctrl_counts)
+        args.save_ctrl_counts, mesh=mesh)
     kevlar_tpu.plog('[kevlar::novel] Loading case samples')
     cases = load_samples(
         args.case_counts, args.case, args.ksize, args.memory,
         args.max_fpr, args.num_bands, myband, args.threads,
-        args.save_case_counts)
+        args.save_case_counts, mesh=mesh)
 
     outstream = kevlar_tpu.open(args.out, 'w')
     infiles = [f for filelist in args.case for f in filelist]

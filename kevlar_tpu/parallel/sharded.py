@@ -127,7 +127,7 @@ class ShardedSketch:
     """Count-Min sketch hash-sharded across the 'shard' axis of a mesh."""
 
     def __init__(self, mesh, ksize, total_tablesize, ntables=4,
-                 counter_bits=8):
+                 counter_bits=8, exact=False):
         self.mesh = mesh
         self._ksize = int(ksize)
         self.ntables = int(ntables)
@@ -139,7 +139,12 @@ class ShardedSketch:
         # shards must pack to whole bytes (sub-byte counters store 8 or 2
         # buckets per byte, matching the single-device Sketch layout)
         self.shard_size += (-self.shard_size) % 8
-        self.tablesize = self.shard_size * n_shard  # padded to even shards
+        # with ``exact`` the hash space is exactly the requested tablesize
+        # (the tail shard's padding buckets are never addressed), so counts
+        # are bit-identical to a single-device Sketch of the same size and
+        # the sketch round-trips through save/load unchanged; the default
+        # uses the padded size as the hash space (slightly lower FPR)
+        self.tablesize = total if exact else self.shard_size * n_shard
         from kevlar_tpu.ops import sketch_ops
         self.shard_width = sketch_ops.packed_width(self.shard_size,
                                                    self.counter_bits)
@@ -148,6 +153,26 @@ class ShardedSketch:
             jnp.zeros((self.ntables, self.shard_width * n_shard),
                       dtype=jnp.uint8),
             sharding)
+
+    @classmethod
+    def from_sketch(cls, mesh, sketch):
+        """Re-shard a single-device Sketch (e.g. a loaded counttable)
+        across the mesh, preserving its exact hash space so abundances are
+        bit-identical."""
+        from kevlar_tpu.sketch import _np_pack
+        out = cls(mesh, sketch.ksize(), sketch.tablesize,
+                  ntables=sketch.ntables, counter_bits=sketch.counter_bits,
+                  exact=True)
+        host = np.asarray(sketch._host())  # [ntables, tablesize] unpacked
+        n_shard = mesh.shape['shard']
+        padded = np.zeros((out.ntables, out.shard_size * n_shard), np.uint8)
+        padded[:, :host.shape[1]] = host
+        rows = padded.reshape(out.ntables * n_shard, out.shard_size)
+        packed = _np_pack(rows, out.counter_bits)
+        packed = packed.reshape(out.ntables, n_shard * out.shard_width)
+        out.tables = jax.device_put(
+            jnp.asarray(packed), NamedSharding(mesh, P(None, 'shard')))
+        return out
 
     def ksize(self):
         return self._ksize
@@ -165,14 +190,14 @@ class ShardedSketch:
                 self.ntables * n_shard, self.shard_width)
             self._host_tables = _np_unpack(
                 per_shard, self.counter_bits, self.shard_size).reshape(
-                    self.ntables, self.tablesize)
+                    self.ntables, -1)[:, :self.tablesize]
         return self._host_tables
 
     def _invalidate(self):
         self._host_tables = None
 
     def n_occupied(self):
-        return int(np.count_nonzero(self._host()[0]))
+        return int(self._occupied_fn()(self.tables))
 
     def n_unique_kmers(self):
         occ = self.n_occupied()
@@ -193,13 +218,55 @@ class ShardedSketch:
 
     def get(self, kmer):
         from kevlar_tpu import dna
+        encoded = dna.encode(kmer)
+        if len(kmer) == self._ksize and not (encoded >= 4).any():
+            counts, _ = self._query_padded(encoded)
+            return int(counts[0])
         h1, h2 = dna.hash_kmer(kmer)
         return int(self._host_counts(np.uint32([h1]), np.uint32([h2]))[0])
 
     def get_kmer_counts(self, seq):
         from kevlar_tpu import dna
-        h1, h2, valid = dna.kmer_hashes(dna.encode(seq), self._ksize)
-        return [int(c) for c in self._host_counts(h1, h2, valid)]
+        counts, valid = self._query_padded(dna.encode(seq))
+        n = len(seq) - self._ksize + 1
+        return [int(c) for c in np.where(valid[:n], counts[:n], 0)]
+
+    def _query_padded(self, encoded):
+        """Point query without gathering the sketch to the host: the
+        sequence rides one row of a device query batch (row length padded
+        to a 64 multiple so repeated queries reuse one compiled program);
+        every shard reads only its own table range and a ``pmin`` selects
+        the owners' counts."""
+        L = max(64, -(-int(encoded.shape[0]) // 64) * 64)
+        row = np.full((1, L), 4, np.uint8)
+        row[0, :encoded.shape[0]] = encoded
+        counts, valid = self.query_batch(row)
+        return counts[0], valid[0]
+
+    def _occupied_fn(self):
+        cache = getattr(self, '_fn_cache', None)
+        if cache is None:
+            cache = self._fn_cache = {}
+        if 'occupied' in cache:
+            return cache['occupied']
+        mesh = self.mesh
+        shard_size, total = self.shard_size, self.tablesize
+        bits = self.counter_bits
+
+        @jax.jit
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(P(None, 'shard'),), out_specs=P())
+        def occupied(tables_local):
+            from kevlar_tpu.ops import sketch_ops
+            row = sketch_ops.unpack_counter_row(tables_local[0], bits,
+                                                shard_size)
+            lo = lax.axis_index('shard').astype(jnp.int32) * shard_size
+            inrange = lo + jnp.arange(shard_size, dtype=jnp.int32) < total
+            n = jnp.sum(((row > 0) & inrange).astype(jnp.int32))
+            return lax.psum(n, 'shard')
+
+        cache['occupied'] = occupied
+        return occupied
 
     def save(self, filename):
         """Gather shards to host and persist in the standard npz format
@@ -213,10 +280,11 @@ class ShardedSketch:
             os.replace(filename + '.npz', filename)
 
     def _consume_fn(self, has_mask, mask_threshold, consume_masked,
-                    mask_bits=8):
+                    mask_bits=8, mask_dims=None):
         # memoize: a fresh jax.jit wrapper per call would defeat the
         # compilation cache
-        key = (has_mask, mask_threshold, consume_masked, mask_bits)
+        key = (has_mask, mask_threshold, consume_masked, mask_bits,
+               mask_dims)
         cache = getattr(self, '_fn_cache', None)
         if cache is None:
             cache = self._fn_cache = {}
@@ -227,6 +295,8 @@ class ShardedSketch:
         shard_size, total = self.shard_size, self.tablesize
         ntables, maxcount = self.ntables, self.maxcount
         bits = self.counter_bits
+        mask_shard, mask_total = mask_dims if mask_dims else (shard_size,
+                                                              total)
 
         if has_mask:
             @jax.jit
@@ -237,8 +307,9 @@ class ShardedSketch:
                 out_specs=P(None, 'shard'))
             def consume(tables_local, mask_local, bases_local):
                 h1, h2, valid = hashing.kmer_hashes(bases_local, ksize)
-                mcnt = _local_gather(mask_local, h1, h2, shard_size, total,
-                                     ntables, mask_bits)
+                mcnt = _local_gather(mask_local, h1, h2, mask_shard,
+                                     mask_total, mask_local.shape[0],
+                                     mask_bits)
                 if consume_masked:
                     valid = valid & (mcnt >= jnp.uint8(mask_threshold))
                 else:
@@ -275,11 +346,12 @@ class ShardedSketch:
         bases = self._pad_rows(np.asarray(bases))
         if mask is not None:
             assert isinstance(mask, ShardedSketch), \
-                'sharded consume requires a same-layout sharded mask'
-            assert mask.tablesize == self.tablesize
+                'sharded consume requires a sharded mask on the same mesh'
             fn = self._consume_fn(True, int(mask_threshold),
                                   bool(consume_masked),
-                                  mask_bits=mask.counter_bits)
+                                  mask_bits=mask.counter_bits,
+                                  mask_dims=(mask.shard_size,
+                                             mask.tablesize))
             self.tables = fn(self.tables, mask.tables, bases)
         else:
             fn = self._consume_fn(False, 0, False)

@@ -91,20 +91,30 @@ def run_mark1(config, logstream=None):
         outfile=path('refr.sct'))
 
     # -- step 1: per-sample masked counting -------------------------------
+    # config key 'shards': hash-shard every sample sketch across that many
+    # mesh devices and run counting + the novel screen as SPMD programs
+    # (supersedes the reference's banding workflow; docs/sharding.md)
+    mesh = None
+    sample_mask = mask
+    if config.get('shards'):
+        from kevlar_tpu.parallel import ShardedSketch, make_mesh
+        mesh = make_mesh(n_shard=int(config['shards']))
+        _stage('sharding sketches over mesh {}'.format(dict(mesh.shape)))
+        sample_mask = ShardedSketch.from_sketch(mesh, mask)
     case_cfg = config['case']
     ctrl_cfgs = config.get('controls', [])
     _stage('counting case sample')
     case_counts = count_mod.load_sample_seqfile(
         case_cfg['fastx'], ksize, _mem(case_cfg.get('memory'), 1e6),
-        maxfpr=case_cfg.get('max_fpr', 0.6), mask=mask,
-        outfile=path('case.ct'))
+        maxfpr=case_cfg.get('max_fpr', 0.6), mask=sample_mask,
+        outfile=path('case.ct'), mesh=mesh)
     ctrl_counts = []
     for i, ctrl in enumerate(ctrl_cfgs):
         _stage('counting control sample {}'.format(i))
         ctrl_counts.append(count_mod.load_sample_seqfile(
             ctrl['fastx'], ksize, _mem(ctrl.get('memory'), 1e6),
-            maxfpr=ctrl.get('max_fpr', 0.05), mask=mask,
-            outfile=path('control{}.ct'.format(i))))
+            maxfpr=ctrl.get('max_fpr', 0.05), mask=sample_mask,
+            outfile=path('control{}.ct'.format(i)), mesh=mesh))
 
     # -- step 2: novel k-mer screen ---------------------------------------
     _stage('novel k-mer screen')
