@@ -8,13 +8,14 @@ reads — and reports one JSON line:
     {"metric": "count_novel_reads_per_s", "value": N, "unit": "reads/s",
      "vs_baseline": R}
 
-``vs_baseline`` compares against a faithful emulation of the reference
-implementation's architecture (BASELINE.md: "vs CPU kevlar"): khmer-style
-per-k-mer point lookups driven by a per-read loop, exactly the hot loop of
-reference novel.py:95-176 (the k-mer hashing itself is vectorised per read,
-which is *generous* to the baseline — khmer pays a C-API call per k-mer).
-A second, idealised vectorised-numpy CPU baseline is also measured and
-reported on stderr for context.  Wall time covers compute on packed base
+``vs_baseline`` is the honest headline: the device against an *idealised
+vectorised-numpy CPU baseline* — the same batched algorithm on the host,
+far faster than the reference's actual per-read/per-k-mer loop.  The
+faithful emulation of the reference architecture (khmer-style point
+lookups driven by a per-read loop, the hot loop of reference
+novel.py:95-176) is also measured and reported on stderr as
+``vs_reference_architecture`` context; BASELINE.md's 10x "vs CPU kevlar"
+target refers to that number.  Wall time covers compute on packed base
 arrays (FASTQ parsing/marshalling excluded on all sides equally).
 """
 
@@ -238,17 +239,19 @@ def main():
         'metric': 'count_novel_reads_per_s',
         'value': round(reads_per_s, 1),
         'unit': 'reads/s',
-        'vs_baseline': round(reads_per_s / ref_reads_per_s, 2),
+        'vs_baseline': round(reads_per_s / host_reads_per_s, 2),
     }
     print(json.dumps(result))
     print('# device: {:.2f}s for {} reads ({} interesting kmers)'.format(
         device_s, total_reads, dev_hits), file=sys.stderr)
-    print('# reference-architecture CPU baseline (per-read loop): '
-          '{:.0f} reads/s'.format(ref_reads_per_s), file=sys.stderr)
-    print('# idealised vectorised CPU baseline: {:.2f}s for {} reads -> '
-          '{:.0f} reads/s (device is {:.1f}x that)'.format(
-              host_s, host_total, host_reads_per_s,
-              reads_per_s / host_reads_per_s), file=sys.stderr)
+    print('# idealised vectorised CPU baseline (the headline denominator): '
+          '{:.2f}s for {} reads -> {:.0f} reads/s'.format(
+              host_s, host_total, host_reads_per_s), file=sys.stderr)
+    print('# reference-architecture CPU baseline (per-read loop, the '
+          'BASELINE.md 10x target): {:.0f} reads/s -> '
+          'vs_reference_architecture {:.1f}x'.format(
+              ref_reads_per_s, reads_per_s / ref_reads_per_s),
+          file=sys.stderr)
 
 
 if __name__ == '__main__':

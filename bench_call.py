@@ -74,6 +74,19 @@ def main():
                           contigs + [c[::-1] for c in contigs])
     dev_s = time.time() - t0
 
+    # device path at aggregation scale: one dispatch covering the
+    # alignments of many alac flushes at once (the regime the device is
+    # built for; same compiled program as above)
+    REP = 16
+    big_t = (cutouts + cutouts) * REP
+    big_q = (contigs + [c[::-1] for c in contigs]) * REP
+    t0 = time.time()
+    align_ops.align_batch(big_t, big_q)
+    big_first = time.time() - t0
+    t0 = time.time()
+    align_ops.align_batch(big_t, big_q)
+    big_s = time.time() - t0
+
     n = len(contigs)
     print(json.dumps({
         'metric': 'assemble_call_contigs_per_s_host',
@@ -81,9 +94,15 @@ def main():
     print(json.dumps({
         'metric': 'call_align_contigs_per_s_device',
         'value': round(n / dev_s, 1), 'unit': 'contigs/s'}))
+    print(json.dumps({
+        'metric': 'call_align_contigs_per_s_device_batched',
+        'value': round(n * REP / big_s, 1), 'unit': 'contigs/s'}))
     print('# assemble: {:.3f}s; host align: {:.3f}s; device align: {:.3f}s '
           '(first incl. compile {:.1f}s) for {} loci'.format(
               asm_s, host_s, dev_s, dev_first, n), file=sys.stderr)
+    print('# device at aggregation scale: {:.3f}s (first {:.1f}s) for {} '
+          'loci ({} pair alignments per dispatch)'.format(
+              big_s, big_first, n * REP, len(big_t)), file=sys.stderr)
 
 
 if __name__ == '__main__':

@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from kevlar_tpu.ops.align import NEG_INF, _backtrack, score_matrix
+from kevlar_tpu.ops.align import NEG_INF, score_matrix
 
 
 @functools.partial(
@@ -85,6 +85,77 @@ def _align_wavefront_batch(targets, tlens, queries, qlens, T, Q, match=1,
     return scores, zdiags
 
 
+@functools.partial(jax.jit, static_argnames=('T', 'Q'))
+def _traceback_batch(zdiags, tlens, qlens, T, Q):
+    """Device backtrack: walk the direction diagonals from (tlen-1, qlen-1)
+    toward (0, 0) for every pair at once.
+
+    Returns (ops_rev [B, T+Q] uint8, exit_i [B], exit_j [B]): per-step op
+    codes in walk order (0=M, 1=D, 2=I, 3=inactive) plus the residual
+    (i, j) for the leading gap run.  Only O(B*(T+Q)) bytes leave the
+    device — the [B, T+Q-1, T] direction tensor never does (decisive on
+    high-latency links: the tensor transfer, not the DP, dominated the
+    host-backtrack path).
+    """
+    nsteps = T + Q
+
+    def one(zdiag, tlen, qlen):
+        def body(carry, _):
+            i, j, state, done = carry
+            active = ~done
+            ii = jnp.maximum(i, 0)
+            jj = jnp.maximum(j, 0)
+            tmp = zdiag[ii + jj, ii].astype(jnp.int32)
+            cont = (tmp >> (state + 2)) & 1
+            s1 = jnp.where(state == 0, tmp & 7,
+                           jnp.where(cont == 0, 0, state))
+            s2 = jnp.where(s1 == 0, tmp & 7, s1)
+            op = jnp.where(active, s2.astype(jnp.uint8), jnp.uint8(3))
+            di = ((s2 == 0) | (s2 == 1)).astype(jnp.int32)
+            dj = ((s2 == 0) | (s2 == 2)).astype(jnp.int32)
+            i2 = jnp.where(active, i - di, i)
+            j2 = jnp.where(active, j - dj, j)
+            done2 = done | (i2 < 0) | (j2 < 0)
+            return (i2, j2, s2, done2), op
+
+        init = (tlen - 1, qlen - 1, jnp.int32(0),
+                (tlen <= 0) | (qlen <= 0))
+        (fi, fj, _, _), ops = jax.lax.scan(body, init, None, length=nsteps)
+        return ops, fi, fj
+
+    return jax.vmap(one)(zdiags, tlens.astype(jnp.int32),
+                         qlens.astype(jnp.int32))
+
+
+_OPCHARS = 'MDI'
+
+
+def _cigar_from_ops(ops_rev, exit_i, exit_j):
+    """Host assembly: reverse the walk, run-length encode, add the leading
+    gap run — identical output to ops.align._backtrack."""
+    parts = []  # built in walk order, reversed at the end
+    for op in ops_rev:
+        if op == 3:
+            break
+        opc = _OPCHARS[op]
+        if parts and parts[-1][0] == opc:
+            parts[-1][1] += 1
+        else:
+            parts.append([opc, 1])
+    if exit_i >= 0:
+        if parts and parts[-1][0] == 'D':
+            parts[-1][1] += exit_i + 1
+        else:
+            parts.append(['D', exit_i + 1])
+    if exit_j >= 0:
+        if parts and parts[-1][0] == 'I':
+            parts[-1][1] += exit_j + 1
+        else:
+            parts.append(['I', exit_j + 1])
+    parts.reverse()
+    return ''.join('{}{}'.format(n, c) for c, n in parts)
+
+
 def align_batch(target_seqs, query_seqs, match=1, mismatch=2, gapopen=5,
                 gapextend=0):
     """Align many (target, query) string pairs on device; returns
@@ -112,16 +183,15 @@ def align_batch(target_seqs, query_seqs, match=1, mismatch=2, gapopen=5,
         jnp.asarray(targets), jnp.asarray(tlens), jnp.asarray(queries),
         jnp.asarray(qlens), T=T, Q=Q, match=match, mismatch=mismatch,
         gapopen=gapopen, gapextend=gapextend)
+    ops_rev, exit_i, exit_j = _traceback_batch(
+        zdiags, jnp.asarray(tlens), jnp.asarray(qlens), T=T, Q=Q)
     scores = np.asarray(scores)
-    zdiags = np.asarray(zdiags)
+    ops_rev = np.asarray(ops_rev)
+    exit_i = np.asarray(exit_i)
+    exit_j = np.asarray(exit_j)
 
     results = []
     for b in range(B):
-        tlen, qlen = int(tlens[b]), int(qlens[b])
-        # z[i, j] = zdiag[i + j, i]
-        z = np.zeros((tlen, qlen), dtype=np.uint8)
-        i_idx, j_idx = np.meshgrid(np.arange(tlen), np.arange(qlen),
-                                   indexing='ij')
-        z[i_idx, j_idx] = zdiags[b][i_idx + j_idx, i_idx]
-        results.append((_backtrack(z, tlen, qlen), int(scores[b])))
+        cigar = _cigar_from_ops(ops_rev[b], int(exit_i[b]), int(exit_j[b]))
+        results.append((cigar, int(scores[b])))
     return results

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from kevlar_tpu.ops.align import NEG_INF, _backtrack
+from kevlar_tpu.ops.align import NEG_INF
 
 
 def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
@@ -227,15 +227,18 @@ def align_batch_pallas(target_seqs, query_seqs, match=1, mismatch=2,
         jnp.asarray(targets), jnp.asarray(tlens), jnp.asarray(queries),
         jnp.asarray(qlens), T=T, Q=Q, match=match, mismatch=mismatch,
         gapopen=gapopen, gapextend=gapextend, interpret=interpret)
+    # device traceback (align_ops): only O(B*(T+Q)) op bytes cross the
+    # link, never the [B, ndiag, T] direction tensor
+    from kevlar_tpu.ops.align_ops import _traceback_batch, _cigar_from_ops
+    ops_rev, exit_i, exit_j = _traceback_batch(
+        zdiags, jnp.asarray(tlens), jnp.asarray(qlens), T=T, Q=Q)
     scores = np.asarray(scores)
-    zdiags = np.asarray(zdiags)
+    ops_rev = np.asarray(ops_rev)
+    exit_i = np.asarray(exit_i)
+    exit_j = np.asarray(exit_j)
 
     results = []
     for b in range(B):
-        tlen, qlen = int(tlens[b]), int(qlens[b])
-        z = np.zeros((tlen, qlen), dtype=np.uint8)
-        i_idx, j_idx = np.meshgrid(np.arange(tlen), np.arange(qlen),
-                                   indexing='ij')
-        z[i_idx, j_idx] = zdiags[b][i_idx + j_idx, i_idx]
-        results.append((_backtrack(z, tlen, qlen), int(scores[b])))
+        cigar = _cigar_from_ops(ops_rev[b], int(exit_i[b]), int(exit_j[b]))
+        results.append((cigar, int(scores[b])))
     return results

@@ -70,7 +70,29 @@ def run_mark1(config, logstream=None):
 
     # -- step 0: reference mask (1-bit) + reference counts (4-bit) --------
     refrfile = config['reference']['fasta']
+    stage_marks = []
+    # per-stage jax.profiler spans (SURVEY §5): with the 'profile' config
+    # key (a trace directory) every stage appears as a named TraceAnnotation
+    # in the captured trace, so device time attributes to pipeline stages
+    profile_dir = config.get('profile')
+    _span = [None]
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
+        kevlar_tpu.plog('[workflow] profiler trace ->', profile_dir)
+
+    def _close_span():
+        if _span[0] is not None:
+            _span[0].__exit__(None, None, None)
+            _span[0] = None
+
     def _stage(msg):
+        stage_marks.append((msg, timer.probe()))
+        if profile_dir:
+            import jax
+            _close_span()
+            _span[0] = jax.profiler.TraceAnnotation('workflow::' + msg)
+            _span[0].__enter__()
         kevlar_tpu.plog('[workflow] ({:.1f}s) {}'.format(
             timer.probe(), msg))
     _stage('creating reference mask')
@@ -203,6 +225,15 @@ def run_mark1(config, logstream=None):
     total = timer.stop()
     kevlar_tpu.plog('[workflow] complete in {:.1f}s; final calls in'.format(
         total), finalfile)
+    stage_marks.append(('done', timer.probe()))
+    if profile_dir:
+        import jax
+        _close_span()
+        jax.profiler.stop_trace()
+    # per-stage wall deltas, exposed for benchmarking
+    run_mark1.last_stage_times = [
+        (label, round(stage_marks[i + 1][1] - t, 2))
+        for i, (label, t) in enumerate(stage_marks[:-1])]
     return finalfile
 
 

@@ -63,3 +63,47 @@ def test_mark1_workflow(tmp_path):
                      'partitioned.augfastq.gz', 'calls.prelim.vcf',
                      'calls.scored.sorted.vcf.gz'):
         assert os.path.exists(os.path.join(config['outdir'], artifact))
+    # per-stage wall deltas recorded for benchmarking
+    stages = dict(run_mark1.last_stage_times)
+    assert 'novel k-mer screen' in stages
+    assert all(t >= 0 for t in stages.values())
+
+
+@pytest.mark.slow
+def test_mark1_workflow_profile_trace(tmp_path):
+    """'profile' config key: per-stage jax.profiler spans land in a trace
+    directory (SURVEY §5 tracing subsystem)."""
+    import os
+    rng = random.Random(404)
+    genome = simdata.make_genome(rng, 3000)
+    child, _, _ = simdata.apply_snv(genome, 1500, rng=rng)
+    refrfile = str(tmp_path / 'refr.fa')
+    simdata.write_fasta({'chr1': genome}, refrfile)
+    childfq = str(tmp_path / 'child.fq')
+    momfq = str(tmp_path / 'mom.fq')
+    dadfq = str(tmp_path / 'dad.fq')
+    simdata.write_fastq(simdata.tiled_reads(child, 100, 8, 'kid'), childfq)
+    simdata.write_fastq(simdata.tiled_reads(genome, 100, 8, 'mom'), momfq)
+    simdata.write_fastq(simdata.tiled_reads(genome, 100, 8, 'dad'), dadfq)
+    tracedir = str(tmp_path / 'trace')
+    config = {
+        'ksize': 21,
+        'outdir': str(tmp_path / 'out'),
+        'profile': tracedir,
+        'reference': {'fasta': refrfile},
+        'case': {'fastx': [childfq], 'label': 'Kid', 'memory': '8M',
+                 'max_fpr': 0.9},
+        'controls': [{'fastx': [momfq], 'label': 'Mom', 'memory': '8M',
+                      'max_fpr': 0.9},
+                     {'fastx': [dadfq], 'label': 'Dad', 'memory': '8M',
+                      'max_fpr': 0.9}],
+        'mask': {'memory': '8M', 'max_fpr': 0.9},
+        'novel': {'case_min': 6, 'ctrl_max': 1},
+        'simlike': {'mu': 8.0, 'sigma': 3.0},
+    }
+    run_mark1(config)
+    found = []
+    for root, _, files in os.walk(tracedir):
+        found.extend(files)
+    assert any(f.endswith(('.xplane.pb', '.trace.json.gz', '.json.gz'))
+               or 'trace' in f for f in found), found

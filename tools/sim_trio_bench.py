@@ -168,8 +168,11 @@ def main():
                   (len(cr) - len(ca)) == (len(ref) - len(alt))
                   for pos, ref, alt in truth)
         fps += not hit
+    from kevlar_tpu.workflow import run_mark1 as _rm
+    stages = dict(getattr(_rm, 'last_stage_times', []) or [])
     print(json.dumps({
         'metric': 'trio_workflow',
+        'stage_wall_s': stages,
         'genome_size': args.genome_size,
         'coverage': args.coverage,
         'error_rate': args.error,
