@@ -89,12 +89,16 @@ def test_novel_skips_reads_with_n(trio_sketches):
     assert results == []
 
 
-def test_novel_band_union_equals_full(trio, trio_sketches):
+@pytest.mark.parametrize('numbands', [2, 4, 8])
+def test_novel_band_union_equals_full(trio, trio_sketches, numbands):
+    """Band-union == full-screen parity across band counts: pins the
+    deliberate deviation from the reference's novel-loop double-decrement
+    quirk (reference novel.py:144-147,184; PARITY.md known deviations) so
+    unband-merge parity cannot silently drift at any band count."""
     case, mom, dad = trio_sketches
     full = list(novel(iter(trio['child']), [case], [mom, dad],
                       ksize=KSIZE, casemin=6, ctrlmax=0))
     banded = []
-    numbands = 4
     for band in range(numbands):
         banded.extend(novel(iter(trio['child']), [case], [mom, dad],
                             ksize=KSIZE, casemin=6, ctrlmax=0,
