@@ -1129,7 +1129,32 @@ std::vector<std::string> assemble_partition(std::vector<std::string> reads,
                 fprintf(stderr, "[kt_asm]   unitig len=%d nsr=%d deg=%d/%d\n",
                         n.len(), n.nsr, n.degree(0), n.degree(1));
     }
-    return g.emit();
+    std::vector<std::string> out = g.emit();
+    if (out.empty() && (int)reads.size() >= prm.min_ensr &&
+        prm.min_ensr > 2) {
+        // Low-coverage rescue: at partition depths of only a handful of
+        // reads a single residual error splits the chain into pieces whose
+        // support sits under the coverage-scaled floor, and every piece
+        // dies as a "tip" — the whole locus vanishes.  Re-clean with the
+        // minimum meaningful floor (2 supporting reads) so a genuine
+        // variant path survives; bubble/weak-edge popping still runs, so
+        // error branches are still resolved against the stronger sibling.
+        // Gated at >= min_ensr reads so partitions below the reference's
+        // supporting-read floor (fermi-lite misc.c:290) still assemble to
+        // nothing — that contract is pinned by
+        // tests/test_assemble_graph.py::test_tiny_partition_below_support_floor.
+        CleanParams relaxed = prm;
+        relaxed.min_ensr = 2;
+        relaxed.min_insr = 1;
+        StringGraph g2(relaxed);
+        g2.build(reads);
+        g2.clean();
+        out = g2.emit();
+        if (getenv("KT_ASM_DEBUG"))
+            fprintf(stderr, "[kt_asm] rescue pass (min_ensr=2) -> %zu "
+                    "unitig(s)\n", out.size());
+    }
+    return out;
 }
 
 }  // namespace

@@ -161,13 +161,16 @@ def align_batch(target_seqs, query_seqs, match=1, mismatch=2, gapopen=5,
     """Align many (target, query) string pairs on device; returns
     [(cigar, score), ...] with exact ksw2 semantics.
 
-    Pairs are padded to shared (T, Q) buckets; backtrack runs on the host
-    from the returned direction diagonals.
+    Pairs are padded to shared (T, Q) buckets and the batch axis is padded
+    to a power of two, so the number of distinct compiled programs stays
+    O(log T * log Q * log B) no matter how partition sizes vary (each
+    compile costs minutes over a remote-compile tunnel).  Backtrack runs on
+    device; only O(B*(T+Q)) bytes come back.
     """
     from kevlar_tpu import dna
 
-    def bucket(n):
-        b = 64
+    def bucket(n, floor=64):
+        b = floor
         while b < n:
             b *= 2
         return b
@@ -176,8 +179,10 @@ def align_batch(target_seqs, query_seqs, match=1, mismatch=2, gapopen=5,
     assert len(query_seqs) == B
     T = bucket(max((len(t) for t in target_seqs), default=1))
     Q = bucket(max((len(q) for q in query_seqs), default=1))
-    targets, tlens = dna.encode_batch(list(target_seqs), pad_to=T)
-    queries, qlens = dna.encode_batch(list(query_seqs), pad_to=Q)
+    Bpad = bucket(B, floor=8)
+    pad_rows = [''] * (Bpad - B)
+    targets, tlens = dna.encode_batch(list(target_seqs) + pad_rows, pad_to=T)
+    queries, qlens = dna.encode_batch(list(query_seqs) + pad_rows, pad_to=Q)
 
     scores, zdiags = _align_wavefront_batch(
         jnp.asarray(targets), jnp.asarray(tlens), jnp.asarray(queries),

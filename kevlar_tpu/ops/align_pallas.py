@@ -211,8 +211,8 @@ def align_batch_pallas(target_seqs, query_seqs, match=1, mismatch=2,
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
 
-    def bucket(n):
-        b = 128
+    def bucket(n, floor=128):
+        b = floor
         while b < n:
             b *= 2
         return b
@@ -220,8 +220,13 @@ def align_batch_pallas(target_seqs, query_seqs, match=1, mismatch=2,
     B = len(target_seqs)
     T = bucket(max((len(t) for t in target_seqs), default=1))
     Q = bucket(max((len(q) for q in query_seqs), default=1))
-    targets, tlens = dna.encode_batch(list(target_seqs), pad_to=T)
-    queries, qlens = dna.encode_batch(list(query_seqs), pad_to=Q)
+    # pad the batch axis to a power of two so the compiled-program count
+    # stays logarithmic in partition-size variety (tunnel compiles cost
+    # minutes each); padded rows have tlen=qlen=0 and are dropped below
+    Bpad = bucket(B, floor=8)
+    pad_rows = [''] * (Bpad - B)
+    targets, tlens = dna.encode_batch(list(target_seqs) + pad_rows, pad_to=T)
+    queries, qlens = dna.encode_batch(list(query_seqs) + pad_rows, pad_to=Q)
 
     scores, zdiags = _align_pallas_batch(
         jnp.asarray(targets), jnp.asarray(tlens), jnp.asarray(queries),
