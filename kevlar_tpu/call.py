@@ -113,10 +113,17 @@ def load_contigs(contigstream):
 
 def make_call_mask(calls, ksize, maskmem, maskmaxfpr=0.01, maskfile=None,
                    logprefix='[kevlar::call]'):
-    """Build a Bloom mask of ALTWINDOW k-mers from a call set."""
+    """Build a Bloom mask of ALTWINDOW k-mers from a call set.
+
+    The mask is a khmer-binary-compatible nodetable (oxli engine) so a
+    ``--gen-mask`` file is byte-identical to the reference's
+    (call.py:137-172 builds khmer.Nodetable the same way) and can be fed
+    to either implementation's ``count --mask``.
+    """
     from kevlar_tpu import sketch
+    from kevlar_tpu.oxli import OxliSketch
     buckets = int(maskmem) * sketch.BUCKETS_PER_BYTE[1] // 4
-    mask = sketch.Sketch(ksize, buckets, 4, counter_bits=1, backend='host')
+    mask = OxliSketch(ksize, buckets, 4, counter_bits=1)
     for varcall in calls:
         window = varcall.attribute('ALTWINDOW')
         if window is not None and len(window) >= ksize:
