@@ -211,9 +211,14 @@ def _pack(bins, bits):
         return bins
     if bits == 1:
         return np.packbits(bins.astype(bool), bitorder='little')
+    # khmer NibbleStorage puts the EVEN bucket in the HIGH nibble
+    # (empirically pinned: the reference's ctrl-high-abund /
+    # case-low-abund / simlike-fast-mode .sct fixtures only reproduce the
+    # reference suite's filter outcomes with this orientation —
+    # tests/test_reference_parity_simlike.py)
     pad = (-len(bins)) % 2
     b = np.pad(bins, (0, pad))
-    return (b[0::2] | (b[1::2] << 4)).astype(np.uint8)
+    return ((b[0::2] << 4) | b[1::2]).astype(np.uint8)
 
 
 def _unpack(packed, bits, size):
@@ -222,8 +227,8 @@ def _unpack(packed, bits, size):
     if bits == 1:
         return np.unpackbits(packed, bitorder='little')[:size]
     out = np.empty(len(packed) * 2, dtype=np.uint8)
-    out[0::2] = packed & 0xF
-    out[1::2] = packed >> 4
+    out[0::2] = packed >> 4
+    out[1::2] = packed & 0xF
     return out[:size]
 
 
