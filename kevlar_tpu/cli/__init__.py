@@ -50,6 +50,10 @@ def _count_subparser(subparsers):
                     'the mesh (supersedes banding; remaining devices become '
                     'the data-parallel axis)')
     sp.add_argument('-t', '--threads', type=int, default=1, metavar='T')
+    sp.add_argument('--sketch-format', choices=('native', 'khmer'),
+                    default='native', help='on-disk sketch format: "native" '
+                    '(device-backed, npz) or "khmer" (byte-compatible with '
+                    'khmer/reference-kevlar count tables, host engine)')
     sp.add_argument('counttable', type=str, help='output count table file')
     sp.add_argument('seqfile', type=str, nargs='+',
                     help='input Fastq/Fasta files')

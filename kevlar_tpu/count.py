@@ -96,14 +96,38 @@ def load_sample_seqfile(seqfiles, ksize, memory, maxfpr=0.2, count=True,
                         smallcount=False, mask=None, maskmaxabund=0,
                         consume_masked=False, numbands=None, band=None,
                         outfile=None, numthreads=1,
-                        batch_size=DEFAULT_BATCH_SIZE, mesh=None):
+                        batch_size=DEFAULT_BATCH_SIZE, mesh=None,
+                        sketch_format='native'):
     """Compute k-mer abundances for one sample; returns the sketch.
 
     With `mesh`, the sketch is hash-sharded across the mesh's 'shard' axis
     and reads are data-parallel across 'data' (see docs/sharding.md);
     banding flags are then unnecessary and unsupported.
+
+    ``sketch_format='khmer'`` counts on the khmer-binary-compatible host
+    engine instead: the saved file is byte-identical to what khmer itself
+    produces for the same input (incl. hash-range banding), so sketches
+    are interchangeable with the reference implementation.  The native
+    format (device-backed, npz) is the default.
     """
     counter_bits = (4 if smallcount else 8) if count else 1
+    from kevlar_tpu.oxli import OxliSketch
+    if sketch_format != 'khmer' and isinstance(mask, OxliSketch) \
+            and mesh is None:
+        # a khmer-format mask lives in khmer's hash space; the whole count
+        # joins it there (the saved sketch is then khmer-format too, which
+        # every downstream stage loads transparently)
+        kevlar_tpu.plog('[kevlar::count] mask is khmer-format; counting on '
+                        'the khmer-compatible host engine')
+        sketch_format = 'khmer'
+    if sketch_format == 'khmer':
+        if mesh is not None:
+            raise ValueError('--shards and --sketch-format khmer are '
+                             'mutually exclusive')
+        return _load_sample_seqfile_khmer(
+            seqfiles, ksize, memory, maxfpr, counter_bits, mask,
+            consume_masked, maskmaxabund, numbands, band, outfile,
+            count=count, smallcount=smallcount)
     if mesh is not None:
         from kevlar_tpu.parallel import ShardedSketch
         from kevlar_tpu.sketch import BUCKETS_PER_BYTE
@@ -135,6 +159,52 @@ def load_sample_seqfile(seqfiles, ksize, memory, maxfpr=0.2, count=True,
         message += ' (FPR too high, bailing out!!!)'
         raise KevlarUnsuitableFPRError('[kevlar::count] ' + message)
 
+    if outfile:
+        extensions = get_extension(count=count, smallcount=smallcount)
+        if not outfile.endswith(extensions):
+            outfile += extensions[1]
+        sketch.save(outfile)
+        message += ';\n    saved to "{:s}"'.format(outfile)
+    kevlar_tpu.plog('[kevlar::count]', message)
+    return sketch
+
+
+def _load_sample_seqfile_khmer(seqfiles, ksize, memory, maxfpr, counter_bits,
+                               mask, consume_masked, maskmaxabund, numbands,
+                               band, outfile, count=True, smallcount=False):
+    """khmer-format counting path: byte-compatible tables + save files."""
+    from kevlar_tpu.oxli import OxliSketch
+    from kevlar_tpu.sketch import BUCKETS_PER_BYTE
+    if mask is not None and not isinstance(mask, OxliSketch):
+        raise ValueError(
+            '--sketch-format khmer requires a khmer-format mask '
+            '(.nt/.nodetable file); got a native-format sketch')
+    tablesize = int(memory) // 4 * BUCKETS_PER_BYTE[counter_bits]
+    sketch = OxliSketch(ksize, max(tablesize, 1), 4,
+                        counter_bits=counter_bits)
+    threshold = (maskmaxabund + 1) if (mask is not None and maskmaxabund)\
+        else 1
+    numreads = 0
+    for seqfile in seqfiles:
+        kevlar_tpu.plog('[kevlar::count] - processing "{}"'.format(seqfile))
+        nr, _ = sketch.consume_seqfile(
+            seqfile, mask=mask, threshold=threshold,
+            consume_masked=consume_masked, numbands=numbands, band=band)
+        numreads += nr
+
+    message = 'Done loading k-mers'
+    if numbands:
+        message += ' (band {:d}/{:d})'.format(band + 1, numbands)
+    fpr = estimate_fpr(sketch)
+    message += ';\n    {:d} reads processed'.format(numreads)
+    # exact (khmer-tracked) distinct-k-mer count, matching the reference's
+    # "N distinct k-mers stored" log line
+    message += ', {:d} distinct k-mers stored'.format(
+        sketch.n_unique_kmers())
+    message += ';\n    estimated false positive rate is {:1.3f}'.format(fpr)
+    if fpr > maxfpr:
+        message += ' (FPR too high, bailing out!!!)'
+        raise KevlarUnsuitableFPRError('[kevlar::count] ' + message)
     if outfile:
         extensions = get_extension(count=count, smallcount=smallcount)
         if not outfile.endswith(extensions):
@@ -190,7 +260,8 @@ def main(args):
         args.seqfile, args.ksize, args.memory, args.max_fpr, count=docount,
         smallcount=dosmallcount, mask=mask,
         consume_masked=args.count_masked, numbands=args.num_bands, band=myband,
-        numthreads=args.threads, outfile=args.counttable, mesh=mesh)
+        numthreads=args.threads, outfile=args.counttable, mesh=mesh,
+        sketch_format=getattr(args, 'sketch_format', 'native'))
     total = timer.stop()
     kevlar_tpu.plog(
         '[kevlar::count] Total time: {:.2f} seconds'.format(total))

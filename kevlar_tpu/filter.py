@@ -35,12 +35,14 @@ class _BlockCounter:
         self.counts = counts
         self.mask = mask
         self.chunk = chunk
-        self._h1, self._h2 = [], []
+        self._h1, self._h2, self._keep = [], [], []
         self._pending = 0
 
-    def add(self, h1, h2):
+    def add(self, h1, h2, keep=None):
         self._h1.append(h1)
         self._h2.append(h2)
+        self._keep.append(np.ones(h1.shape, dtype=bool)
+                          if keep is None else keep)
         self._pending += len(h1)
         if self._pending >= self.chunk:
             self.flush()
@@ -50,12 +52,11 @@ class _BlockCounter:
             return
         h1 = np.concatenate(self._h1)
         h2 = np.concatenate(self._h2)
-        self._h1, self._h2 = [], []
+        keep = np.concatenate(self._keep)
+        self._h1, self._h2, self._keep = [], [], []
         self._pending = 0
         if self.mask is not None:
-            keep = self.mask._host_counts(h1, h2) == 0
-        else:
-            keep = np.ones(h1.shape, dtype=bool)
+            keep = keep & (self.mask._host_counts(h1, h2) == 0)
         size = self.chunk
         for lo in range(0, len(h1), size):
             s1, s2, sk = h1[lo:lo + size], h2[lo:lo + size], keep[lo:lo + size]
@@ -70,6 +71,11 @@ class _BlockCounter:
 def first_pass(reads, mask, memory, timer, chunk=1 << 16):
     kevlar_tpu.plog('[kevlar::filter] First pass: re-counting k-mers')
     timer.start('firstpass')
+    from kevlar_tpu.oxli import OxliSketch
+    # khmer-format masks hash differently (64-bit khmer hash over prime
+    # tables): membership is resolved per read from the k-mer strings and
+    # fed through as a keep-mask, the native-format path stays hash-based
+    oxlimask = mask if isinstance(mask, OxliSketch) else None
     counter = None
     nreads = 0
     for nreads, read in enumerate(reads, 1):
@@ -80,8 +86,12 @@ def first_pass(reads, mask, memory, timer, chunk=1 << 16):
             counter = _BlockCounter(
                 Sketch(ksize, int(memory) // 4, 4, counter_bits=8,
                        backend='host'),
-                mask, chunk)
-        counter.add(*_hash_annotations(read))
+                None if oxlimask is not None else mask, chunk)
+        keep = None
+        if oxlimask is not None:
+            keep = np.array([oxlimask.get(read.ikmerseq(ik)) == 0
+                             for ik in read.annotations], dtype=bool)
+        counter.add(*_hash_annotations(read), keep=keep)
     if counter is not None:
         counter.flush()
     kevlar_tpu.plog(

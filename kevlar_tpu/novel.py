@@ -156,8 +156,15 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
     nprocessed = 0
     unique_kmers = set()
     from kevlar_tpu.parallel.sharded import ShardedSketch
+    from kevlar_tpu.oxli import OxliSketch
     sharded = isinstance(casecounts[0], ShardedSketch)
-    if not sharded:
+    # khmer-format counttables (loaded .ct/.sct files) have per-table prime
+    # sizes and the 64-bit khmer hash — they screen on the host engine
+    # (vectorised numpy per read), not the device tables
+    hostsketch = (not sharded) and any(
+        isinstance(s, OxliSketch)
+        for s in tuple(casecounts) + tuple(controlcounts))
+    if not sharded and not hostsketch:
         case_tables = tuple(s.tables for s in casecounts)
         ctrl_tables = tuple(s.tables for s in controlcounts)
     skipping = skipuntil is not None
@@ -193,6 +200,48 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
         if irecord is not None and irecord.annotations:
             nreads += 1
             nkmers += len(irecord.annotations)
+            yield irecord
+
+    def host_screen(rbatch):
+        """Reference-semantics screen against host-engine sketches (khmer
+        .ct/.sct interop): per read, every sample's k-mer counts gathered
+        in one vectorised query; a case abundance below `abundscreen`
+        discards the read (reference novel.py:40-43), non-ACGT reads are
+        skipped (novel.py:134-139), banding keeps k-mers whose (sketch)
+        hash satisfies ``hash & (numbands-1) == band`` (novel.py:144-147).
+        """
+        nonlocal nreads, nkmers
+        samples = tuple(casecounts) + tuple(controlcounts)
+        ncase = len(casecounts)
+        for record in rbatch.records:
+            seq = record.sequence
+            if len(seq) < ksize or any(b not in 'ACGT' for b in seq):
+                continue
+            counts = np.array([s.get_kmer_counts(seq) for s in samples])
+            interesting = np.all(counts[:ncase] >= casemin, axis=0) & \
+                np.all(counts[ncase:] <= ctrlmax, axis=0)
+            inband = np.ones(counts.shape[1], dtype=bool)
+            if numbands:
+                hashes = np.array(casecounts[0].get_kmer_hashes(seq),
+                                  dtype=np.uint64)
+                inband = (hashes & np.uint64(numbands - 1)) == np.uint64(band)
+                interesting &= inband
+            # out-of-band k-mers never reach the screen check (reference
+            # novel.py:144-154 ordering)
+            if abundscreen is not None and \
+                    bool((counts[:ncase, inband] < abundscreen).any()):
+                continue
+            positions = np.nonzero(interesting)[0]
+            if not len(positions):
+                continue
+            irecord = sequence.copy_record(record)
+            for p in positions:
+                kmer = seq[p:p + ksize]
+                irecord.annotate(kmer, int(p),
+                                 tuple(int(c) for c in counts[:, p]))
+                unique_kmers.add(kevlar_tpu.revcommin(kmer))
+            nreads += 1
+            nkmers += len(positions)
             yield irecord
 
     def screen_one(rbatch):
@@ -262,14 +311,19 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
                 disc = discard_np[j]
             yield from decode_hits(rbatch, hits_np, hitab_np, disc)
 
+    nskipped = 0
     for rbatch in batchstream:
         if skipping:
             # restartability support (novel.py:114-132): fast-forward to a
-            # named read, host-side
+            # named read, host-side; the found read itself is also skipped
+            # and the reported count includes it (reference novel.py:125-130)
             names = [r.name for r in rbatch.records]
             if skipuntil in names:
                 idx = names.index(skipuntil)
-                kevlar_tpu.plog('[kevlar::novel] Found read ' + skipuntil)
+                nskipped += idx + 1
+                kevlar_tpu.plog(
+                    '[kevlar::novel] Found read {:s} (skipped {:d} '
+                    'reads)'.format(skipuntil, nskipped))
                 rbatch.records = rbatch.records[idx + 1:]
                 rbatch = batch_mod.ReadBatch(rbatch.records) \
                     if rbatch.records else None
@@ -277,9 +331,13 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
                 if rbatch is None:
                     continue
             else:
+                nskipped += len(names)
                 continue
         nprocessed += len(rbatch)
         progress.update(len(rbatch))
+        if hostsketch:
+            yield from host_screen(rbatch)
+            continue
         if sharded:
             from kevlar_tpu.parallel import sharded_novel_screen
             interesting, abunds, discard, skip = sharded_novel_screen(

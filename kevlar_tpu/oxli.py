@@ -252,6 +252,9 @@ class OxliSketch:
         # khmer leaves the final byte's unused pad bits of sub-byte tables
         # uninitialized; preserved from load so re-saves stay byte-faithful
         self._pad_bits = [0] * self.ntables
+        # exact distinct-k-mer counter (khmer parity); None once the
+        # counting history is unknown (tables loaded from a file)
+        self._n_unique = 0
 
     # -- khmer-parity introspection ------------------------------------
     def ksize(self):
@@ -264,6 +267,12 @@ class OxliSketch:
         return int(np.count_nonzero(self.tables[0]))
 
     def n_unique_kmers(self):
+        """khmer-exact distinct-k-mer count when all counting went through
+        this object (tracked per insert, khmer Storage semantics: a k-mer
+        is new iff some bucket was still 0 when its first occurrence
+        arrived); occupancy-based estimate for loaded tables."""
+        if self._n_unique is not None:
+            return self._n_unique
         occ = self.n_occupied()
         size = self.sizes[0]
         if occ >= size:
@@ -301,7 +310,40 @@ class OxliSketch:
         return [int(h) for h, v in zip(hashes, valid) if v]
 
     # -- counting -----------------------------------------------------------
+    def _track_new_kmers(self, hashes):
+        """Count hashes khmer would report as new: at its first occurrence
+        a k-mer is new iff some table bucket is still 0 — including buckets
+        touched earlier in this same batch by OTHER new k-mers (khmer
+        inserts strictly sequentially; replicated here with a touched-set
+        over the batch's first occurrences, in stream order)."""
+        uniq, first = np.unique(hashes, return_index=True)
+        order = np.argsort(first, kind='stable')
+        uniq = uniq[order]
+        idx_per_table = [(uniq % U64(size)).astype(np.int64)
+                         for size in self.sizes]
+        pre_zero = [self.tables[t][idx_per_table[t]] == 0
+                    for t in range(self.ntables)]
+        candidates = np.nonzero(
+            np.logical_or.reduce(pre_zero) if pre_zero else
+            np.zeros(len(uniq), bool))[0]
+        touched = set()
+        nnew = 0
+        for u in candidates:
+            fresh = False
+            buckets = []
+            for t in range(self.ntables):
+                key = (t, int(idx_per_table[t][u]))
+                buckets.append(key)
+                if pre_zero[t][u] and key not in touched:
+                    fresh = True
+            if fresh:
+                nnew += 1
+                touched.update(buckets)
+        return nnew
+
     def _consume_hashes(self, hashes):
+        if self._n_unique is not None and len(hashes):
+            self._n_unique += self._track_new_kmers(hashes)
         for size, table in zip(self.sizes, self.tables):
             idx = (hashes % U64(size)).astype(np.int64)
             inc = np.bincount(idx, minlength=size)
@@ -324,9 +366,12 @@ class OxliSketch:
         """Count every k-mer of a FASTA/FASTQ[.gz] file, khmer-style
         (reads cleaned: non-ACGT -> 'A').  Masking counts a k-mer iff its
         mask abundance is >= threshold (``consume_masked``) or below it
-        (mask-exclusion).  Banding keeps hashes with
-        ``hash & (numbands-1) == band`` (power-of-two bands, matching this
-        package's native banding semantics).  Returns (n_reads, n_kmers).
+        (mask-exclusion).  Banding keeps hashes inside khmer's hash-range
+        band (band b of N covers [b*(2^64//N), (b+1)*(2^64//N)), 0-based —
+        khmer's ``consume_seqfile_banding`` semantics, byte-pinned against
+        the reference's ``simple-genome-case-band-*.ct`` fixtures; note
+        this differs from the novel stage's in-loop power-of-two mask
+        check, exactly as in the reference).  Returns (n_reads, n_kmers).
         """
         from kevlar_tpu import seqio
         nreads = 0
@@ -358,7 +403,12 @@ class OxliSketch:
         valid = ~np.lib.stride_tricks.sliding_window_view(sep, k).any(axis=1)
         hashes = hash_kmer_matrix(win[valid])
         if numbands:
-            hashes = hashes[(hashes & U64(numbands - 1)) == U64(band)]
+            step = 2 ** 64 // numbands
+            lo = U64(step * band)
+            keep = hashes >= lo
+            if band + 1 < numbands:
+                keep &= hashes < U64(step * (band + 1))
+            hashes = hashes[keep]
         if mask is not None:
             mcounts = mask._counts_for_hashes(hashes)
             if consume_masked:
@@ -448,6 +498,7 @@ class OxliSketch:
         sketch = cls(ksize, sizes, counter_bits=bits)
         sketch.tables = [t.copy() for t in tables]
         sketch._pad_bits = pads
+        sketch._n_unique = None  # counting history unknown: estimate
         return sketch
 
 
