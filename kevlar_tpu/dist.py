@@ -113,10 +113,39 @@ def write_dist_tsv(rows, outstream):
         print(*[row[f] for f in fields], sep='\t', file=outstream)
 
 
+def _abundance_oxli(infiles, mask, ksize, memory):
+    """khmer-engine distribution for khmer-format masks (hash spaces
+    cannot mix): masked counting + tracking-deduped histogram, matching
+    the reference's two khmer passes (dist.py:25-79)."""
+    from kevlar_tpu.oxli import OxliSketch
+    counts = OxliSketch(ksize, int(memory) // 4, 4, counter_bits=8)
+    kevlar_tpu.plog('[kevlar::dist] Processing input')
+    for filename in infiles:
+        kevlar_tpu.plog('    -', filename)
+        counts.consume_seqfile(filename, mask=mask, threshold=1,
+                               consume_masked=True)
+    kevlar_tpu.plog('[kevlar::dist] Done processing input!')
+    kevlar_tpu.plog('[kevlar::dist] Second pass over the data')
+    tracking = OxliSketch(ksize, counts.hashsizes(), counter_bits=1)
+    abundance = defaultdict(int)
+    for filename in infiles:
+        kevlar_tpu.plog('    -', filename)
+        hist = counts.abundance_distribution(filename, tracking)
+        for i, count in enumerate(hist.tolist()):
+            if i > 0 and count > 0:
+                abundance[i] += count
+    kevlar_tpu.plog('[kevlar::dist] Done second pass over input!')
+    return abundance
+
+
 def dist(infiles, mask, ksize=31, memory=1e6, threads=1):
-    counts = Sketch(ksize, int(memory) // 4, 4, counter_bits=8)
-    count_first_pass(infiles, counts, mask)
-    abundance = count_second_pass(infiles, counts, mask)
+    from kevlar_tpu.oxli import OxliSketch
+    if isinstance(mask, OxliSketch):
+        abundance = _abundance_oxli(infiles, mask, ksize, memory)
+    else:
+        counts = Sketch(ksize, int(memory) // 4, 4, counter_bits=8)
+        count_first_pass(infiles, counts, mask)
+        abundance = count_second_pass(infiles, counts, mask)
     mu, sigma = calc_mu_sigma(abundance)
     data = compute_dist(abundance)
     return mu, sigma, data

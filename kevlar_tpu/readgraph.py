@@ -30,6 +30,7 @@ class ReadGraph:
         self.readnames = set()
         self.edges = {}          # name -> {name: attrs} (strict mode only)
         self._strict = False
+        self._populated = False
 
     # -- container protocol (parity with networkx usage) -----------------
     def __iter__(self):
@@ -45,7 +46,19 @@ class ReadGraph:
         return len(self.nodes)
 
     def number_of_edges(self):
-        return sum(len(v) for v in self.edges.values()) // 2
+        """Strict mode counts the materialised validated edges; relaxed
+        mode derives the shared-k-mer pair count from the bipartite
+        incidence on demand (the components never need the pairs, so they
+        are not stored — but the count is the reference's observable graph
+        surface and matches it exactly)."""
+        if self._strict or not self._populated:
+            return sum(len(v) for v in self.edges.values()) // 2
+        from itertools import combinations
+        pairs = set()
+        for readset in self.ikmers.values():
+            for pair in combinations(sorted(readset), 2):
+                pairs.add(pair)
+        return len(pairs)
 
     def add_node(self, name, record=None):
         self.nodes[name] = record
@@ -103,6 +116,7 @@ class ReadGraph:
         """Strict mode materialises validated pairwise edges; relaxed mode
         needs none (components come straight from the bipartite incidence)."""
         self._strict = strict
+        self._populated = True
         if not strict:
             return
         from itertools import combinations
