@@ -91,6 +91,14 @@ _U32 = np.uint32
 GOLDEN1 = _U32(0x3c6ef372)
 GOLDEN2 = _U32(0x9e3779b9)
 
+# long-k (k > 32) polynomial hashing: odd multipliers (units mod 2^32) and
+# their precomputed power tables; shared verbatim with ops/hashing.py
+MAX_KSIZE = 64
+POLY_M1 = 0x9E3779B1
+POLY_M2 = 0x85EBCA77
+POLY_POW1 = tuple(pow(POLY_M1, i, 1 << 32) for i in range(MAX_KSIZE))
+POLY_POW2 = tuple(pow(POLY_M2, i, 1 << 32) for i in range(MAX_KSIZE))
+
 
 def _fmix32(h):
     """Murmur3 32-bit finaliser (numpy uint32, elementwise)."""
@@ -119,8 +127,8 @@ def kmer_codes(bases, ksize):
     reverse-complement packings, so string ``revcommin`` order and numeric
     (hi, lo) order agree (A<C<G<T in both ASCII and numeric code).
     """
-    if not 1 <= ksize <= 32:
-        raise ValueError('ksize must be in [1, 32]')
+    if not 1 <= ksize <= MAX_KSIZE:
+        raise ValueError('ksize must be in [1, {}]'.format(MAX_KSIZE))
     bases = np.asarray(bases, dtype=np.uint8)
     L = bases.shape[-1]
     P = L - ksize + 1
@@ -139,17 +147,34 @@ def kmer_codes(bases, ksize):
     f_hi = np.zeros_like(f_lo)
     r_lo = np.zeros_like(f_lo)
     r_hi = np.zeros_like(f_lo)
-    for i in range(ksize):
-        w = b[..., i:i + P]
-        c = comp[..., i:i + P]
-        if i >= ksize - lo_len:
-            f_lo += w << _U32(2 * (ksize - 1 - i))
-        else:
-            f_hi += w << _U32(2 * (hi_len - 1 - i))
-        if i < lo_len:
-            r_lo += c << _U32(2 * i)
-        else:
-            r_hi += c << _U32(2 * (i - lo_len))
+    if ksize > 32:
+        # long-k path (the reference recommends k 45-55 for repeats): the
+        # 64-bit exact packing no longer fits, so each strand accumulates
+        # two independent polynomial hashes mod 2^32 instead — reverse uses
+        # the mirrored powers, so the {forward, reverse} accumulator pair
+        # is strand-symmetric and the min-selection below stays canonical.
+        # A single substitution always changes both words (odd multiplier
+        # powers are units mod 2^32). Codes are no longer unique, only
+        # hash-quality — fine for every consumer (Count-Min tables).
+        for i in range(ksize):
+            w = b[..., i:i + P]
+            c = comp[..., i:i + P]
+            f_lo += w * _U32(POLY_POW1[ksize - 1 - i])
+            f_hi += w * _U32(POLY_POW2[ksize - 1 - i])
+            r_lo += c * _U32(POLY_POW1[i])
+            r_hi += c * _U32(POLY_POW2[i])
+    else:
+        for i in range(ksize):
+            w = b[..., i:i + P]
+            c = comp[..., i:i + P]
+            if i >= ksize - lo_len:
+                f_lo += w << _U32(2 * (ksize - 1 - i))
+            else:
+                f_hi += w << _U32(2 * (hi_len - 1 - i))
+            if i < lo_len:
+                r_lo += c << _U32(2 * i)
+            else:
+                r_hi += c << _U32(2 * (i - lo_len))
 
     bad = (bases >= 4)
     cum = np.zeros(bases.shape[:-1] + (L + 1,), dtype=np.int32)

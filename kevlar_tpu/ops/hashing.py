@@ -37,17 +37,29 @@ def kmer_codes(bases, ksize):
     f_hi = jnp.zeros(shape, dtype=jnp.uint32)
     r_lo = jnp.zeros(shape, dtype=jnp.uint32)
     r_hi = jnp.zeros(shape, dtype=jnp.uint32)
-    for i in range(ksize):
-        w = jnp.asarray(b[..., i:i + P])
-        c = jnp.asarray(comp[..., i:i + P])
-        if i >= ksize - lo_len:
-            f_lo = f_lo + (w << jnp.uint32(2 * (ksize - 1 - i)))
-        else:
-            f_hi = f_hi + (w << jnp.uint32(2 * (hi_len - 1 - i)))
-        if i < lo_len:
-            r_lo = r_lo + (c << jnp.uint32(2 * i))
-        else:
-            r_hi = r_hi + (c << jnp.uint32(2 * (i - lo_len)))
+    if ksize > 32:
+        # long-k polynomial path, op-for-op identical to dna.kmer_codes
+        # (see the invariant note there; powers shared via dna.POLY_POW*)
+        from kevlar_tpu.dna import POLY_POW1, POLY_POW2
+        for i in range(ksize):
+            w = jnp.asarray(b[..., i:i + P])
+            c = jnp.asarray(comp[..., i:i + P])
+            f_lo = f_lo + w * jnp.uint32(POLY_POW1[ksize - 1 - i])
+            f_hi = f_hi + w * jnp.uint32(POLY_POW2[ksize - 1 - i])
+            r_lo = r_lo + c * jnp.uint32(POLY_POW1[i])
+            r_hi = r_hi + c * jnp.uint32(POLY_POW2[i])
+    else:
+        for i in range(ksize):
+            w = jnp.asarray(b[..., i:i + P])
+            c = jnp.asarray(comp[..., i:i + P])
+            if i >= ksize - lo_len:
+                f_lo = f_lo + (w << jnp.uint32(2 * (ksize - 1 - i)))
+            else:
+                f_hi = f_hi + (w << jnp.uint32(2 * (hi_len - 1 - i)))
+            if i < lo_len:
+                r_lo = r_lo + (c << jnp.uint32(2 * i))
+            else:
+                r_hi = r_hi + (c << jnp.uint32(2 * (i - lo_len)))
 
     bad = (bases >= 4).astype(jnp.int32)
     cum = jnp.cumsum(bad, axis=-1)

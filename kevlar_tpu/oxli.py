@@ -163,6 +163,60 @@ def sequence_kmer_hashes(seq, ksize, clean=False):
     return hash_kmer_matrix(win), valid
 
 
+# ---- khmer graph-type hashing (reversible 2-bit; k <= 32) -----------------
+# khmer's *graph classes hash with a reversible 2-bit code — A=0, T=1, C=2,
+# G=3, complement = code^1 — taking min(forward, revcom); its *table
+# classes use murmur.  The file formats are identical, so the engine picks
+# the hash from the filename extension (as kevlar's sketch registry does).
+_TWOBIT = np.full(256, 255, dtype=np.uint8)
+for _i, _b in enumerate('ATCG'):
+    _TWOBIT[ord(_b)] = _i
+    _TWOBIT[ord(_b.lower())] = _i
+_TWOBIT_CHARS = 'ATCG'
+
+
+def twobit_hash_matrix(kmers):
+    """Canonical khmer graph hashes of a uint8 [N, K] ASCII matrix."""
+    codes = _TWOBIT[kmers].astype(U64)
+    K = kmers.shape[1]
+    if K > 32:
+        raise ValueError('graph hashing supports k <= 32')
+    fwd = np.zeros(kmers.shape[0], dtype=U64)
+    rev = np.zeros(kmers.shape[0], dtype=U64)
+    for i in range(K):
+        fwd = (fwd << U64(2)) | codes[:, i]
+        rev = (rev << U64(2)) | (codes[:, K - 1 - i] ^ U64(1))
+    return np.minimum(fwd, rev)
+
+
+def twobit_hash(kmer):
+    arr = np.frombuffer(kmer.encode(), dtype=np.uint8)[None, :]
+    return int(twobit_hash_matrix(arr)[0])
+
+
+def twobit_sequence_hashes(seq, ksize, clean=False):
+    data = np.frombuffer(seq.upper().encode(), dtype=np.uint8)
+    if len(data) < ksize:
+        return np.zeros(0, dtype=U64), np.zeros(0, dtype=bool)
+    good = np.isin(data, np.frombuffer(b'ACGT', dtype=np.uint8))
+    if clean:
+        data = _CLEAN[data]
+        good = np.ones(len(data), dtype=bool)
+    win = np.lib.stride_tricks.sliding_window_view(data, ksize)
+    valid = np.lib.stride_tricks.sliding_window_view(good, ksize).all(axis=1)
+    return twobit_hash_matrix(win), valid
+
+
+def twobit_reverse_hash(value, ksize):
+    """Decode a graph hash back to (one strand of) its k-mer."""
+    chars = []
+    v = int(value)
+    for _ in range(ksize):
+        chars.append(_TWOBIT_CHARS[v & 3])
+        v >>= 2
+    return ''.join(reversed(chars))
+
+
 def is_prime(n):
     """Deterministic Miller-Rabin for 64-bit inputs."""
     if n < 2:
@@ -239,8 +293,10 @@ class OxliSketch:
     or an explicit list of table sizes (as stored in a file).
     """
 
-    def __init__(self, ksize, tablesize, ntables=4, counter_bits=8):
+    def __init__(self, ksize, tablesize, ntables=4, counter_bits=8,
+                 hash_mode='murmur'):
         self._ksize = int(ksize)
+        self.hash_mode = hash_mode  # 'murmur' (tables) | 'twobit' (graphs)
         self.counter_bits = int(counter_bits)
         self.maxcount = MAXCOUNT[self.counter_bits]
         if isinstance(tablesize, (list, tuple)):
@@ -281,7 +337,27 @@ class OxliSketch:
 
     # -- hashing / queries -------------------------------------------------
     def hash(self, kmer):
+        if self.hash_mode == 'twobit':
+            return twobit_hash(kmer)
         return hash_kmer(kmer)
+
+    def reverse_hash(self, value):
+        """Graph hashes are reversible (2-bit code); table (murmur)
+        hashes are not — khmer raises the same error."""
+        if self.hash_mode != 'twobit':
+            raise ValueError('reverse hashing not implemented for '
+                             'murmur-hashed sketches')
+        return twobit_reverse_hash(value, self._ksize)
+
+    def _seq_hashes(self, seq, clean=False):
+        if self.hash_mode == 'twobit':
+            return twobit_sequence_hashes(seq, self._ksize, clean=clean)
+        return sequence_kmer_hashes(seq, self._ksize, clean=clean)
+
+    def _matrix_hashes(self, kmers):
+        if self.hash_mode == 'twobit':
+            return twobit_hash_matrix(kmers)
+        return hash_kmer_matrix(kmers)
 
     def get_kmers(self, seq):
         k = self._ksize
@@ -301,12 +377,12 @@ class OxliSketch:
             np.array([self.hash(kmer)], dtype=U64))[0])
 
     def get_kmer_counts(self, seq):
-        hashes, valid = sequence_kmer_hashes(seq, self._ksize)
+        hashes, valid = self._seq_hashes(seq)
         counts = self._counts_for_hashes(hashes)
         return [int(c) if v else 0 for c, v in zip(counts, valid)]
 
     def get_kmer_hashes(self, seq):
-        hashes, valid = sequence_kmer_hashes(seq, self._ksize)
+        hashes, valid = self._seq_hashes(seq)
         return [int(h) for h, v in zip(hashes, valid) if v]
 
     # -- counting -----------------------------------------------------------
@@ -357,7 +433,7 @@ class OxliSketch:
     count = add
 
     def consume(self, seq):
-        hashes, valid = sequence_kmer_hashes(seq, self._ksize)
+        hashes, valid = self._seq_hashes(seq)
         return self._consume_hashes(hashes[valid])
 
     def consume_seqfile(self, path, mask=None, threshold=1,
@@ -401,7 +477,7 @@ class OxliSketch:
         sep = np.frombuffer(joined.encode(), dtype=np.uint8) == ord('N')
         win = np.lib.stride_tricks.sliding_window_view(data, k)
         valid = ~np.lib.stride_tricks.sliding_window_view(sep, k).any(axis=1)
-        hashes = hash_kmer_matrix(win[valid])
+        hashes = self._matrix_hashes(win[valid])
         if numbands:
             step = 2 ** 64 // numbands
             lo = U64(step * band)
@@ -425,8 +501,8 @@ class OxliSketch:
             records = seqio.multi_file_iter([records])
         hist = np.zeros(256, dtype=np.int64)
         for record in records:
-            hashes, valid = sequence_kmer_hashes(record.sequence,
-                                                 self._ksize, clean=True)
+            hashes, valid = self._seq_hashes(record.sequence,
+                                             clean=True)
             hashes = np.unique(hashes[valid])
             if not len(hashes):
                 continue

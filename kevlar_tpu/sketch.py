@@ -187,6 +187,12 @@ class Sketch:
         h1, h2 = dna.hash_kmer(kmer)
         return (h1 << 32) | h2
 
+    def reverse_hash(self, value):
+        """Table hashes are one-way (khmer raises the same error for its
+        table types; only graph types hash reversibly)."""
+        raise ValueError('reverse hashing not implemented for table-hashed '
+                         'sketches')
+
     def get_kmers(self, seq):
         k = self._ksize
         return [seq[i:i + k] for i in range(len(seq) - k + 1)]
@@ -385,9 +391,20 @@ def estimate_fpr(sketch):
     return fp_one ** float(sketch.ntables)
 
 
+GRAPH_EXTENSIONS = ('.ng', '.nodegraph', '.cg', '.countgraph',
+                    '.scg', '.smallcountgraph')
+
+
 def allocate(ksize, target_tablesize, num_tables=4, count=False, graph=False,
              smallcount=False):
     bits = (4 if smallcount else 8) if count else 1
+    if graph:
+        # khmer graph types hash with the reversible 2-bit code (and khmer
+        # raises on reverse_hash for table types); graphs are control-plane
+        # objects in kevlar, so the khmer-compatible host engine serves them
+        from kevlar_tpu.oxli import OxliSketch
+        return OxliSketch(ksize, target_tablesize, num_tables,
+                          counter_bits=bits, hash_mode='twobit')
     return Sketch(ksize, target_tablesize, num_tables, counter_bits=bits)
 
 
@@ -416,8 +433,12 @@ def load(filename):
     from kevlar_tpu import oxli
     if oxli.is_oxli_file(filename):
         # khmer-format sketch from the reference toolchain: load through
-        # the bit-exact compatibility engine (hash + primes + layout)
-        return oxli.OxliSketch.load(filename)
+        # the bit-exact compatibility engine (hash + primes + layout);
+        # graph-type extensions imply khmer's reversible 2-bit hash
+        sk = oxli.OxliSketch.load(filename)
+        if filename.endswith(GRAPH_EXTENSIONS):
+            sk.hash_mode = 'twobit'
+        return sk
     sketch = Sketch.load_file(filename)
     ext = '.' + filename.split('.')[-1]
     expected_bits = COUNTER_BITS_BY_EXTENSION[ext]
@@ -434,9 +455,14 @@ def autoload(infile, count=True, graph=False, ksize=31, table_size=1e4,
     try:
         return load(infile)
     except KevlarSketchTypeError:
-        from kevlar_tpu import count as count_mod
         sketch = allocate(ksize, table_size, num_tables, count=count,
                           graph=graph, smallcount=False)
+        if graph:
+            # khmer-engine object: its own (khmer-semantics) consume;
+            # library-level band indices are 0-based, as in the reference
+            sketch.consume_seqfile(infile, numbands=num_bands, band=band)
+            return sketch
+        from kevlar_tpu import count as count_mod
         count_mod.consume_seqfile(sketch, [infile], numbands=num_bands,
                                   band=band)
         return sketch

@@ -111,3 +111,69 @@ def test_seed_codes_canonical_and_exact():
     uniq = {tuple(c) for c in codes}
     strs = {dna.revcommin(seq[i:i + seedsize]) for i in range(P)}
     assert len(uniq) == len(strs)
+
+
+def test_long_k_hash_parity_and_canonicality():
+    """k > 32 (the reference recommends 45-55 for repeats) hashes via the
+    polynomial path: numpy and jax identical, strand-neutral, and
+    collision-free on random data."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kevlar_tpu import dna
+    from kevlar_tpu.ops import hashing
+
+    rng = np.random.default_rng(5)
+    for k in (35, 45, 55):
+        bases = rng.integers(0, 4, size=(32, 120)).astype(np.uint8)
+        bases[3, 10] = 4  # one invalid base
+        h1n, h2n, vn = dna.kmer_hashes(bases, k)
+        h1j, h2j, vj = hashing.kmer_hashes(jnp.asarray(bases), k)
+        assert np.array_equal(h1n, np.asarray(h1j))
+        assert np.array_equal(h2n, np.asarray(h2j))
+        assert np.array_equal(vn, np.asarray(vj))
+        rc = np.where(bases[:, ::-1] >= 4, np.uint8(4),
+                      (3 - bases[:, ::-1]).astype(np.uint8))
+        h1r, h2r, vr = dna.kmer_hashes(rc, k)
+        assert np.array_equal(np.where(vn, h1n, 0),
+                              np.where(vr[:, ::-1], h1r[:, ::-1], 0))
+        flat = (h1n.astype(np.uint64) << np.uint64(32)) | \
+            h2n.astype(np.uint64)
+        assert len(np.unique(flat[vn])) == int(vn.sum())
+
+
+def test_long_k_novel_screen():
+    """End-to-end novel screen at k=45 finds exactly the variant-spanning
+    k-mers of a de novo SNV."""
+    import random
+    import numpy as np
+    from kevlar_tpu import dna
+    from kevlar_tpu import novel as novel_mod
+    from kevlar_tpu.batch import batches_from_records
+    from kevlar_tpu.sequence import Record
+    from kevlar_tpu.sketch import Sketch
+
+    K = 45
+    rng = random.Random(9)
+    genome = ''.join(rng.choice('ACGT') for _ in range(5000))
+    child = genome[:2500] + ('A' if genome[2500] != 'A' else 'C') + \
+        genome[2501:]
+
+    def reads_of(seq):
+        return [Record(name='r%d' % i, sequence=seq[s:s + 100])
+                for i, s in enumerate(range(0, len(seq) - 100, 7))]
+
+    def consume(sk, recs):
+        for b in batches_from_records(iter(recs)):
+            h1, h2, valid = dna.kmer_hashes(b.bases, K)
+            sk._host_consume_hashes(h1, h2, valid)
+
+    case_sk = Sketch(K, 100000, 4, backend='host')
+    ctrl_sk = Sketch(K, 100000, 4, backend='host')
+    consume(case_sk, reads_of(child))
+    consume(ctrl_sk, reads_of(genome))
+    hits = list(novel_mod.novel(iter(reads_of(child)), [case_sk], [ctrl_sk],
+                                ksize=K, casemin=6, ctrlmax=0))
+    kmers = {kmer.offset for r in hits for kmer in r.annotations}
+    uniq = {r.ikmerseq(kmer) for r in hits for kmer in r.annotations}
+    assert hits
+    assert len(uniq) == K  # exactly the K windows spanning the SNV
