@@ -1,55 +1,164 @@
 """Large simulated-trio workflow benchmark + accuracy check.
 
-Simulates a genome (default 1 Mb), a trio with inherited and de novo
-variants (gentrio: SNVs + indels), error-bearing reads at the requested
-coverage, then runs the full mark-I workflow driver and scores the PASS
-calls against the truth VCF.  Prints one JSON summary line.
+Simulates a genome, a trio with inherited and de novo variants, and
+error-bearing reads at the requested coverage (all numpy-vectorized so
+genome sizes up to the reference's 25 Mb quick-start scale are cheap),
+then runs the full mark-I workflow driver and scores the PASS calls
+against the truth VCF.  Prints one JSON summary line.
+
+Presets:
+  --preset helium   mirrors the reference's quick-start scenario
+                    (docs/quick-start.rst: 25 Mb genome, the expected
+                    output is "5 variant calls: a 300 bp insertion and
+                    4 SNVs", "< 5 minutes ... < 200 Mb of RAM" on a
+                    laptop): 25 Mb genome, 30x trio, de novo = exactly
+                    4 SNVs + one 300 bp insertion.
 
 Usage:
-    KEVLAR_PLATFORM=cpu python tools/sim_trio_bench.py \
-        [--genome-size 1000000] [--coverage 25] [--error 0.005] \
-        [--threads 4] [--workdir DIR]
-
-(Defaults reproduce the round-1 STATUS.md measurement.)
+    python tools/sim_trio_bench.py [--preset helium]
+        [--genome-size N] [--coverage N] [--error F]
+        [--threads N] [--workdir DIR]
+    (KEVLAR_PLATFORM=cpu for the host backend; defaults reproduce the
+    round-1 1 Mb STATUS.md measurement.)
 """
 
 import argparse
 import json
 import os
 import random
+import resource
 import sys
 import time
 
+import numpy as np
 
-def simulate_reads(fasta, out_fq, coverage, readlen, error, rng):
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_ACGT = np.frombuffer(b'ACGT', dtype=np.uint8)
+_CODE = np.zeros(256, dtype=np.uint8)
+for _i, _b in enumerate(b'ACGT'):
+    _CODE[_b] = _i
+
+
+def write_genome(path, size, seed, width=80):
+    """Random uniform genome as wrapped FASTA; returns the sequence."""
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=size, dtype=np.uint8)
+    letters = _ACGT[codes]
+    pad = (-size) % width
+    rows = np.concatenate([letters, np.zeros(pad, np.uint8)])
+    rows = rows.reshape(-1, width)
+    out = np.full((rows.shape[0], width + 1), ord('\n'), np.uint8)
+    out[:, :width] = rows
+    body = out.tobytes().replace(b'\x00', b'')
+    with open(path, 'wb') as fh:
+        fh.write(b'>chr1\n')
+        fh.write(body)
+    return letters.tobytes().decode('ascii')
+
+
+def _fasta_haplotypes(path):
     seqs = []
-    seq = ''
-    with open(fasta) as fh:
+    with open(path) as fh:
+        chunks = []
         for line in fh:
             if line.startswith('>'):
-                if seq:
-                    seqs.append(seq)
-                seq = ''
+                if chunks:
+                    seqs.append(''.join(chunks))
+                chunks = []
             else:
-                seq += line.strip()
-    if seq:
-        seqs.append(seq)
-    bases = 'ACGT'
-    n = 0
-    with open(out_fq, 'w') as out:
-        for seq in seqs:  # one haplotype per record
+                chunks.append(line.strip())
+        if chunks:
+            seqs.append(''.join(chunks))
+    return seqs
+
+
+def simulate_reads(fasta, out_fq, coverage, readlen, error, seed):
+    """Vectorized whole-sample read simulation.
+
+    Uniform start positions per haplotype, per-base substitution errors
+    at rate ``error`` (uniform over the three other bases), fixed-width
+    FASTQ records assembled as one byte matrix per chunk.
+    """
+    rng = np.random.default_rng(seed)
+    total = 0
+    chunk = 250_000
+    with open(out_fq, 'wb') as out:
+        for seq in _fasta_haplotypes(fasta):
+            arr = _CODE[np.frombuffer(seq.encode('ascii'), np.uint8)]
             nreads = len(seq) * coverage // (2 * readlen)
-            for _ in range(nreads):
-                start = rng.randrange(len(seq) - readlen)
-                read = list(seq[start:start + readlen])
-                for p in range(readlen):
-                    if rng.random() < error:
-                        read[p] = rng.choice(
-                            [b for b in bases if b != read[p]])
-                n += 1
-                out.write('@r{}\n{}\n+\n{}\n'.format(
-                    n, ''.join(read), 'I' * readlen))
-    return n
+            for off in range(0, nreads, chunk):
+                m = min(chunk, nreads - off)
+                starts = rng.integers(0, len(seq) - readlen, size=m)
+                reads = arr[starts[:, None] + np.arange(readlen)]
+                errs = rng.random((m, readlen)) < error
+                nerr = int(errs.sum())
+                if nerr:
+                    rot = rng.integers(1, 4, size=nerr).astype(np.uint8)
+                    reads[errs] = (reads[errs] + rot) & 3
+                # fixed-width record: '@r' + 9 digits + '\n' SEQ '\n+\n'
+                # QUAL '\n'
+                rl = readlen
+                rec = np.empty((m, 15 + 2 * rl + 1), np.uint8)
+                rec[:, 0] = ord('@')
+                rec[:, 1] = ord('r')
+                nums = np.arange(total + 1, total + m + 1, dtype=np.int64)
+                for j in range(9):
+                    rec[:, 2 + j] = (nums // 10 ** (8 - j)) % 10 + ord('0')
+                rec[:, 11] = ord('\n')
+                rec[:, 12:12 + rl] = _ACGT[reads]
+                rec[:, 12 + rl] = ord('\n')
+                rec[:, 13 + rl] = ord('+')
+                rec[:, 14 + rl] = ord('\n')
+                rec[:, 15 + rl:15 + 2 * rl] = ord('I')
+                rec[:, 15 + 2 * rl] = ord('\n')
+                out.write(rec.tobytes())
+                total += m
+    return total
+
+
+def helium_trio(genome, ninh, seed, ksize=31):
+    """The quick-start scenario's exact de novo composition: 4 SNVs and
+    one 300 bp insertion (heterozygous in the proband, absent in both
+    parents), on top of ``ninh`` random inherited variants."""
+    from kevlar_tpu import gentrio as g
+    from kevlar_tpu.vcf import Variant
+
+    rng = random.Random(seed)
+    seqs = {'chr1': genome}
+    variants = list(g.simulate_variant_genotypes(
+        seqs, ninh=ninh, ndenovo=0, rng=rng))
+    glen = len(genome)
+    spots = sorted(rng.sample(range(glen // 20, glen - glen // 20), 5))
+    for idx, pos in enumerate(spots):
+        if idx < 4:
+            alleles = g.mutate_snv(genome, pos, rng.randint(1, 3), ksize)
+        else:
+            src = rng.randint(0, glen - 400)
+            alleles = g.mutate_insertion(genome, pos, 300, src, rng, ksize)
+        refr, alt, refrwin, altwin = alleles
+        var = Variant('chr1', pos, refr, alt, ALTWINDOW=altwin,
+                      REFRWINDOW=refrwin)
+        var.annotate('GT', '{},0/0,0/0'.format(rng.choice(['0/1', '1/0'])))
+        variants.append(var)
+    return variants
+
+
+def write_trio(genome, variants, prefix, truthvcf):
+    """Haplotype FASTAs for proband/mother/father + the truth VCF."""
+    import kevlar_tpu
+    from kevlar_tpu import gentrio as g
+
+    ordered = sorted(variants, key=lambda v: v.position, reverse=True)
+    for person, who in enumerate(('proband', 'mother', 'father')):
+        with open('{}-{}.fasta'.format(prefix, who), 'w') as fh:
+            haplos = g._haplotype_pair(genome, 'chr1', ordered, person)
+            for hapnum, hap in enumerate(haplos, 1):
+                print('>chr1_haplo', hapnum, '\n', hap, sep='', file=fh)
+    with kevlar_tpu.open(truthvcf, 'w') as fh:
+        kevlar_tpu.vcf_header(fh, source='kevlar::gentrio', infoheader=True)
+        for var in sorted(variants, key=lambda v: (v.seqid, v.position)):
+            print(var.vcf, file=fh)
 
 
 def denovo_truth(truthvcf):
@@ -61,17 +170,15 @@ def denovo_truth(truthvcf):
             if line.startswith('#'):
                 continue
             f = line.split('\t')
-            gt = f[7] if len(f) < 10 else f[7]
-            if 'GT=' in line:
-                gtfield = [x for x in f[7].split(';')
-                           if x.startswith('GT=')][0][3:]
-            else:
-                gtfield = ','.join(f[9:12])
+            if 'GT=' not in f[7]:
+                continue
+            gtfield = [x for x in f[7].split(';')
+                       if x.startswith('GT=')][0][3:]
             gts = gtfield.replace('|', '/').split(',')
-            child, par = gts[0], gts[1:]
+            child, parents = gts[0], gts[1:]
             if sorted(child.split('/')) != ['0', '1']:
                 continue
-            if any(p != '0/0' for p in par):
+            if any(p != '0/0' for p in parents):
                 continue
             rows.append((int(f[1]) - 1, f[3], f[4]))
     return rows
@@ -79,16 +186,29 @@ def denovo_truth(truthvcf):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--genome-size', type=int, default=1_000_000)
-    ap.add_argument('--coverage', type=int, default=25)
+    ap.add_argument('--preset', choices=('helium',), default=None)
+    ap.add_argument('--genome-size', type=int, default=None)
+    ap.add_argument('--coverage', type=int, default=None)
     ap.add_argument('--error', type=float, default=0.005)
     ap.add_argument('--readlen', type=int, default=150)
-    ap.add_argument('--inherited', type=int, default=10)
+    ap.add_argument('--inherited', type=int, default=None)
     ap.add_argument('--denovo', type=int, default=11)
     ap.add_argument('--seed', type=int, default=20260818)
     ap.add_argument('--threads', type=int, default=4)
+    ap.add_argument('--sketch-mem', default=None)
     ap.add_argument('--workdir', default=None)
     args = ap.parse_args()
+
+    helium = args.preset == 'helium'
+    defaults = ((25_000_000, 30, 20) if helium else (1_000_000, 25, 10))
+    if args.genome_size is None:
+        args.genome_size = defaults[0]
+    if args.coverage is None:
+        args.coverage = defaults[1]
+    if args.inherited is None:
+        args.inherited = defaults[2]
+    sketchmem = args.sketch_mem or (
+        '500M' if args.genome_size > 4_000_000 else '100M')
 
     import tempfile
     workdir = args.workdir or tempfile.mkdtemp(prefix='kevlar_trio_')
@@ -96,28 +216,35 @@ def main():
     os.chdir(workdir)
     print('# workdir:', workdir, file=sys.stderr)
 
-    rng = random.Random(args.seed)
     t_all = time.time()
 
-    # 1. genome + trio
-    with open('genome.fa', 'w') as fh:
-        fh.write('>chr1\n')
-        g = ''.join(rng.choice('ACGT') for _ in range(args.genome_size))
-        for i in range(0, len(g), 80):
-            fh.write(g[i:i + 80] + '\n')
-    import kevlar_tpu.cli as cli
-    import kevlar_tpu.gentrio as gentrio_mod
-    gargs = cli.parse_args([
-        'gentrio', '--vcf', 'truth.vcf', '--prefix', 'trio',
-        '--inherited', str(args.inherited), '--de-novo', str(args.denovo),
-        '--seed', str(args.seed), 'genome.fa'])
-    gentrio_mod.main(gargs)
+    # 1. genome + trio haplotypes + truth VCF
+    genome = write_genome('genome.fa', args.genome_size, args.seed)
+    if helium:
+        variants = helium_trio(genome, args.inherited, args.seed)
+        write_trio(genome, variants, 'trio', 'truth.vcf')
+    else:
+        import kevlar_tpu.cli as cli
+        import kevlar_tpu.gentrio as gentrio_mod
+        gargs = cli.parse_args([
+            'gentrio', '--vcf', 'truth.vcf', '--prefix', 'trio',
+            '--inherited', str(args.inherited),
+            '--de-novo', str(args.denovo),
+            '--seed', str(args.seed), 'genome.fa'])
+        gentrio_mod.main(gargs)
+    del genome
+    print('# simulated trio in {:.1f}s'.format(time.time() - t_all),
+          file=sys.stderr)
 
     # 2. reads
-    for who in ('proband', 'mother', 'father'):
+    t_rd = time.time()
+    for i, who in enumerate(('proband', 'mother', 'father')):
         nr = simulate_reads('trio-{}.fasta'.format(who), who + '.fq',
-                            args.coverage, args.readlen, args.error, rng)
+                            args.coverage, args.readlen, args.error,
+                            args.seed + 7 * i)
         print('# {}: {} reads'.format(who, nr), file=sys.stderr)
+    print('# simulated reads in {:.1f}s'.format(time.time() - t_rd),
+          file=sys.stderr)
 
     # 3. workflow
     config = {
@@ -125,12 +252,12 @@ def main():
         'outdir': 'out',
         'reference': {'fasta': 'genome.fa'},
         'case': {'fastx': ['proband.fq'], 'label': 'Proband',
-                 'memory': '100M', 'max_fpr': 0.6},
+                 'memory': sketchmem, 'max_fpr': 0.6},
         'controls': [
-            {'fastx': ['mother.fq'], 'label': 'Mother', 'memory': '100M',
-             'max_fpr': 0.2},
-            {'fastx': ['father.fq'], 'label': 'Father', 'memory': '100M',
-             'max_fpr': 0.2},
+            {'fastx': ['mother.fq'], 'label': 'Mother',
+             'memory': sketchmem, 'max_fpr': 0.2},
+            {'fastx': ['father.fq'], 'label': 'Father',
+             'memory': sketchmem, 'max_fpr': 0.2},
         ],
         'mask': {'memory': '50M', 'max_fpr': 0.01},
         'novel': {'case_min': 5, 'ctrl_max': 1},
@@ -168,19 +295,22 @@ def main():
                   (len(cr) - len(ca)) == (len(ref) - len(alt))
                   for pos, ref, alt in truth)
         fps += not hit
-    from kevlar_tpu.workflow import run_mark1 as _rm
-    stages = dict(getattr(_rm, 'last_stage_times', []) or [])
+    stages = dict(getattr(run_mark1, 'last_stage_times', []) or [])
     print(json.dumps({
         'metric': 'trio_workflow',
+        'preset': args.preset,
         'stage_wall_s': stages,
         'genome_size': args.genome_size,
         'coverage': args.coverage,
         'error_rate': args.error,
         'denovo_found': found,
         'denovo_total': len(truth),
+        'pass_calls': len(calls),
         'false_positives': fps,
         'workflow_wall_s': round(wall, 1),
         'total_wall_s': round(time.time() - t_all, 1),
+        'peak_rss_mb': round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
     }))
 
 
