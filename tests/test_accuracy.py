@@ -115,3 +115,64 @@ def test_denovo_recall_and_precision(tmp_path):
     inherited = {('chr1', v.position, v._refr, v._alt)
                  for v in variants if v not in denovo}
     assert not (passing & inherited)
+
+
+@pytest.mark.slow
+def test_denovo_long_insertion(tmp_path):
+    """A 300 bp de novo insertion — longer than any single read — must be
+    assembled across tiling interesting reads and called with the right
+    length (the hard case in the reference's quick-start scenario, which
+    expects '5 variant calls: a 300 bp insertion and 4 SNVs')."""
+    from kevlar_tpu.gentrio import mutate_insertion, mutate_snv
+    from kevlar_tpu.vcf import Variant
+
+    rng = random.Random(20260820)
+    genome = simdata.make_genome(rng, 30000)
+    inspos, snvpos = 9000, 21000
+    refr1, alt1, rw1, aw1 = mutate_insertion(
+        genome, inspos, 300, 2000, rng, ksize=KSIZE)
+    refr2, alt2, rw2, aw2 = mutate_snv(genome, snvpos, 2, ksize=KSIZE)
+    variants = [
+        Variant('chr1', inspos, refr1, alt1, ALTWINDOW=aw1, REFRWINDOW=rw1),
+        Variant('chr1', snvpos, refr2, alt2, ALTWINDOW=aw2, REFRWINDOW=rw2),
+    ]
+    for v in variants:
+        v.annotate('GT', '0/1,0/0,0/0')
+
+    proband = _haplotypes(genome, variants, 0)
+    parent = [genome, genome]
+    child_reads = _noisy_reads(rng, proband, 100, 8, 'c', error_rate=0.005)
+    mom_reads = _noisy_reads(rng, parent, 100, 10, 'm', error_rate=0.005)
+    dad_reads = _noisy_reads(rng, parent, 100, 10, 'd', error_rate=0.005)
+
+    def count(reads):
+        ct = Sketch(KSIZE, 8_000_003, 4, counter_bits=8)
+        for b in batches_from_records(iter(reads)):
+            ct.consume_batch(b.bases)
+        return ct
+
+    case, mom, dad = count(child_reads), count(mom_reads), count(dad_reads)
+    refr = Sketch(KSIZE, 8_000_003, 4, counter_bits=4)
+    refr.consume(genome)
+    refrfile = str(tmp_path / 'refr.fa')
+    simdata.write_fasta({'chr1': genome}, refrfile)
+
+    novelreads = list(novel(iter(child_reads), [case], [mom, dad],
+                            ksize=KSIZE, casemin=6, ctrlmax=1))
+    pstream = partition(iter(novelreads), minabund=2, maxabund=200)
+    calls = alac(pstream, refrfile, ksize=KSIZE, seedsize=51, delta=50)
+    scored = list(simlike(calls, case, [mom, dad], refr, mu=12.0, sigma=4.0,
+                          casemin=6))
+    passing = [c for c in scored if c.filterstr == 'PASS']
+
+    inscalls = [c for c in passing
+                if len(c._alt) - len(c._refr) == 300
+                and abs(c.position - inspos) <= 10]
+    assert len(inscalls) == 1, [(c.position, c._refr[:20], c._alt[:20])
+                                for c in passing]
+    snvcalls = [c for c in passing
+                if c.position == snvpos and (c._refr, c._alt) == (refr2,
+                                                                  alt2)]
+    assert len(snvcalls) == 1
+    assert len(passing) == 2, [(c.position, len(c._alt) - len(c._refr))
+                               for c in passing]
