@@ -292,11 +292,23 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
             [np.asarray(b.lengths, np.int32) for b in stack] +
             [np.zeros_like(np.asarray(stack[0].lengths, np.int32))] *
             (STACK_DEPTH - nreal))
-        hit_idx, hit_abunds, n_hits, discard, skip = \
-            novel_ops.novel_screen_compact_stack(
-                case_tables, ctrl_tables, bases_stack, lengths_stack,
-                ksize=ksize, casemin=casemin, ctrlmax=ctrlmax,
-                screen=abundscreen, numbands=numbands, band=band)
+        import os
+        if os.environ.get('KEVLAR_PACKED_WIRE', '1') != '0':
+            # 2-bit wire format: ~3.7x less host->device traffic on the
+            # hottest stage (same opt-out as count)
+            packed_stack, badmask_stack = batch_mod.pack_bases(bases_stack)
+            hit_idx, hit_abunds, n_hits, discard, skip = \
+                novel_ops.novel_screen_compact_stack_packed(
+                    case_tables, ctrl_tables, packed_stack, badmask_stack,
+                    lengths_stack, L=bases_stack.shape[-1], ksize=ksize,
+                    casemin=casemin, ctrlmax=ctrlmax,
+                    screen=abundscreen, numbands=numbands, band=band)
+        else:
+            hit_idx, hit_abunds, n_hits, discard, skip = \
+                novel_ops.novel_screen_compact_stack(
+                    case_tables, ctrl_tables, bases_stack, lengths_stack,
+                    ksize=ksize, casemin=casemin, ctrlmax=ctrlmax,
+                    screen=abundscreen, numbands=numbands, band=band)
         n_hits_np = np.asarray(n_hits)
         hit_idx_np = np.asarray(hit_idx)
         hit_abunds_np = np.asarray(hit_abunds)

@@ -179,3 +179,22 @@ def test_novel_small_batches_match_one_batch(trio, trio_sketches):
             for r in big] == \
            [(r.name, [(ik.offset, ik.abund) for ik in r.annotations])
             for r in small]
+
+
+def test_novel_packed_wire_matches_raw(trio, trio_sketches, monkeypatch):
+    """The 2-bit wire format for the stacked screen (default) must yield
+    byte-identical annotations to the raw uint8 wire."""
+    case, mom, dad = trio_sketches
+
+    def run():
+        return [(r.name, [(ik.offset, ik.abund) for ik in r.annotations])
+                for r in novel(iter(trio['child']), [case], [mom, dad],
+                               ksize=KSIZE, casemin=6, ctrlmax=0,
+                               batch_size=8)]
+
+    monkeypatch.setenv('KEVLAR_PACKED_WIRE', '1')
+    packed = run()
+    monkeypatch.setenv('KEVLAR_PACKED_WIRE', '0')
+    raw = run()
+    assert packed == raw
+    assert any(anns for _name, anns in packed)
