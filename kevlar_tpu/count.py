@@ -44,12 +44,16 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
                 stack.append(np.full_like(stack[0], 4))
             stacked = np.stack(stack)
             import os
+            from kevlar_tpu.sketch import Sketch, _device_mask_tables
+            mask_ok = mask is None or (isinstance(mask, Sketch)
+                                       and mask.backend == 'device')
             if getattr(sketch, 'backend', 'device') == 'device' \
-                    and mask is None and not numbands \
+                    and mask_ok and not numbands \
                     and os.environ.get('KEVLAR_PACKED_WIRE', '1') != '0':
                 # 2-bit wire format: 3.7x less host->device traffic
                 # (default on; TPU-validated bit-identical — set
-                # KEVLAR_PACKED_WIRE=0 to send raw base codes)
+                # KEVLAR_PACKED_WIRE=0 to send raw base codes); masked
+                # counting screens against the mask tables on-device
                 from kevlar_tpu.batch import pack_bases
                 from kevlar_tpu.ops import sketch_ops
                 packed, badmask = pack_bases(stacked)
@@ -57,7 +61,13 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
                     sketch.tables, packed, badmask, L=stacked.shape[-1],
                     ksize=sketch.ksize(), maxcount=sketch.maxcount,
                     counter_bits=sketch.counter_bits,
-                    tablesize=sketch.tablesize)
+                    tablesize=sketch.tablesize,
+                    mask_tables=_device_mask_tables(mask),
+                    has_mask=mask is not None,
+                    mask_threshold=threshold, consume_masked=consume_masked,
+                    mask_bits=mask.counter_bits if mask is not None else 8,
+                    mask_tablesize=(mask.tablesize if mask is not None
+                                    else None))
                 sketch._invalidate()
             else:
                 sketch.consume_batch_stack(

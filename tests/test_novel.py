@@ -198,3 +198,26 @@ def test_novel_packed_wire_matches_raw(trio, trio_sketches, monkeypatch):
     raw = run()
     assert packed == raw
     assert any(anns for _name, anns in packed)
+
+
+def test_masked_count_packed_wire_matches_raw(trio, tmp_path, monkeypatch):
+    """Masked counting (the workflow's per-sample stage) over the 2-bit
+    wire must produce tables identical to the raw uint8 wire."""
+    import numpy as np
+    from kevlar_tpu.count import consume_seqfile
+
+    mask = Sketch(KSIZE, 100003, 4, counter_bits=1)
+    mask.consume(trio['genome'])
+    fq = str(tmp_path / 'reads.fq')
+    with open(fq, 'w') as fh:
+        for r in trio['child']:
+            fh.write('@{}\n{}\n+\n{}\n'.format(
+                r.name, r.sequence, 'I' * len(r.sequence)))
+
+    def count(env):
+        monkeypatch.setenv('KEVLAR_PACKED_WIRE', env)
+        ct = Sketch(KSIZE, 100003, 4, counter_bits=8)
+        consume_seqfile(ct, [fq], mask=mask, batch_size=64)
+        return np.asarray(ct.tables)
+
+    assert (count('1') == count('0')).all()
