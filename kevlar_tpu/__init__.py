@@ -28,6 +28,9 @@ __version__ = '0.1.0'
 # Persistent XLA compilation cache: every CLI stage is its own process, and
 # TPU compiles (especially through remote-compile tunnels) can take minutes —
 # the cache makes every shape a one-time cost across the whole workflow.
+# Environments with an accelerator plugin may pre-import jax from a site
+# hook, in which case env vars are read-too-late and the setting must go
+# through jax.config (same pitfall as the platform override below).
 if 'JAX_COMPILATION_CACHE_DIR' not in os.environ:
     _cache_dir = os.path.join(
         os.path.expanduser('~'), '.cache', 'kevlar_tpu', 'jax_cache')
@@ -37,6 +40,19 @@ if 'JAX_COMPILATION_CACHE_DIR' not in os.environ:
         os.environ.setdefault(
             'JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
     except OSError:
+        _cache_dir = None
+else:
+    _cache_dir = os.environ['JAX_COMPILATION_CACHE_DIR']
+if _cache_dir and 'jax' in sys.modules:
+    try:
+        _jax = sys.modules['jax']
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update('jax_compilation_cache_dir', _cache_dir)
+            _jax.config.update(
+                'jax_persistent_cache_min_compile_time_secs',
+                float(os.environ.get(
+                    'JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')))
+    except Exception:
         pass
 
 # Optional platform override: KEVLAR_PLATFORM=cpu routes the (identical) XLA

@@ -136,3 +136,26 @@ def test_timer_and_progress():
     for _ in range(5):
         p.update()
     assert p.counter == 5
+
+
+def test_compilation_cache_set_even_when_jax_preimported(tmp_path):
+    """Accelerator site hooks pre-import jax, which makes env-var config
+    read-too-late; the package must fall back to jax.config so the
+    persistent compile cache engages on the TPU path (where a single
+    compile can cost minutes through a remote-compile tunnel)."""
+    import subprocess
+    import sys as _sys
+    code = (
+        "import jax\n"                       # simulate the site hook
+        "import kevlar_tpu\n"
+        "assert jax.config.jax_compilation_cache_dir, 'cache dir unset'\n"
+        "print(jax.config.jax_compilation_cache_dir)\n"
+    )
+    env = dict(os.environ)
+    env.pop('JAX_COMPILATION_CACHE_DIR', None)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['HOME'] = str(tmp_path)              # isolate the default dir
+    out = subprocess.run([_sys.executable, '-c', code], env=env,
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert str(tmp_path) in out.stdout
