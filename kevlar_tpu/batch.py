@@ -6,12 +6,18 @@ Lengths are bucketed to a small set of padded widths so jit kernels compile
 once per bucket, not per read length.
 """
 
+import os
+
 import numpy as np
 
 from kevlar_tpu import dna
 
 
-DEFAULT_BATCH_SIZE = 4096
+# Reads per device batch (8 batches are stacked per dispatch in count/novel).
+# Remote or tunneled devices pay a round-trip per dispatch, so larger batches
+# trade a little padding for proportionally fewer round trips — raise via
+# KEVLAR_BATCH_READS when per-dispatch latency dominates (docs/performance.md).
+DEFAULT_BATCH_SIZE = int(os.environ.get('KEVLAR_BATCH_READS', 4096))
 # pad lengths to these buckets (ceil); last bucket grows by doubling
 LENGTH_BUCKETS = (128, 160, 256, 512, 1024)
 

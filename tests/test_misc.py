@@ -159,3 +159,18 @@ def test_compilation_cache_set_even_when_jax_preimported(tmp_path):
                          capture_output=True, text=True)
     assert out.returncode == 0, out.stderr
     assert str(tmp_path) in out.stdout
+
+
+def test_batch_reads_env_knob():
+    """KEVLAR_BATCH_READS resizes the per-dispatch read batch (remote
+    devices pay a round-trip per dispatch, so the workflow scales this
+    up when per-dispatch latency dominates)."""
+    import subprocess
+    import sys as _sys
+    env = dict(os.environ, KEVLAR_BATCH_READS='16384', JAX_PLATFORMS='cpu')
+    out = subprocess.run(
+        [_sys.executable, '-c',
+         'from kevlar_tpu.batch import DEFAULT_BATCH_SIZE; '
+         'print(DEFAULT_BATCH_SIZE)'],
+        env=env, capture_output=True, text=True)
+    assert out.stdout.strip() == '16384', out.stderr
