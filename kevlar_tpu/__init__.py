@@ -52,8 +52,10 @@ if _cache_dir and 'jax' in sys.modules:
                 'jax_persistent_cache_min_compile_time_secs',
                 float(os.environ.get(
                     'JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')))
-    except Exception:
-        pass
+    except Exception as _exc:
+        print('kevlar_tpu: warning: could not enable the persistent XLA '
+              'compile cache ({}: {}); first compiles will not be cached'
+              .format(type(_exc).__name__, _exc), file=sys.stderr)
 
 # Optional platform override: KEVLAR_PLATFORM=cpu routes the (identical) XLA
 # programs to the host backend — useful for small inputs where TPU compile

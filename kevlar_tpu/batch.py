@@ -17,7 +17,22 @@ from kevlar_tpu import dna
 # Remote or tunneled devices pay a round-trip per dispatch, so larger batches
 # trade a little padding for proportionally fewer round trips — raise via
 # KEVLAR_BATCH_READS when per-dispatch latency dominates (docs/performance.md).
-DEFAULT_BATCH_SIZE = int(os.environ.get('KEVLAR_BATCH_READS', 4096))
+def _parse_batch_size():
+    raw = os.environ.get('KEVLAR_BATCH_READS', '4096')
+    try:
+        value = int(raw)
+    except ValueError:
+        raise ValueError(
+            'KEVLAR_BATCH_READS must be a positive integer, got {!r}'
+            .format(raw)) from None
+    if value < 1:
+        raise ValueError(
+            'KEVLAR_BATCH_READS must be >= 1 (one compiled batch shape), '
+            'got {}'.format(value))
+    return value
+
+
+DEFAULT_BATCH_SIZE = _parse_batch_size()
 # pad lengths to these buckets (ceil); last bucket grows by doubling
 LENGTH_BUCKETS = (128, 160, 256, 512, 1024)
 

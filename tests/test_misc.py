@@ -163,8 +163,8 @@ def test_compilation_cache_set_even_when_jax_preimported(tmp_path):
 
 def test_batch_reads_env_knob():
     """KEVLAR_BATCH_READS resizes the per-dispatch read batch (remote
-    devices pay a round-trip per dispatch, so the workflow scales this
-    up when per-dispatch latency dominates)."""
+    devices pay a round-trip per dispatch, so the operator raises this
+    knob when per-dispatch latency dominates)."""
     import subprocess
     import sys as _sys
     env = dict(os.environ, KEVLAR_BATCH_READS='16384', JAX_PLATFORMS='cpu')
@@ -174,3 +174,17 @@ def test_batch_reads_env_knob():
          'print(DEFAULT_BATCH_SIZE)'],
         env=env, capture_output=True, text=True)
     assert out.stdout.strip() == '16384', out.stderr
+
+
+def test_batch_reads_env_knob_rejects_bad_values():
+    """A non-numeric or non-positive KEVLAR_BATCH_READS fails with a clear
+    message naming the env var (not an opaque int() traceback)."""
+    import subprocess
+    import sys as _sys
+    for bad in ('banana', '0', '-4'):
+        env = dict(os.environ, KEVLAR_BATCH_READS=bad, JAX_PLATFORMS='cpu')
+        out = subprocess.run(
+            [_sys.executable, '-c', 'import kevlar_tpu.batch'],
+            env=env, capture_output=True, text=True)
+        assert out.returncode != 0
+        assert 'KEVLAR_BATCH_READS' in out.stderr, out.stderr
