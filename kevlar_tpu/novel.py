@@ -135,11 +135,20 @@ def save_counts(filelist, tablelist):
         counttable.save(outfile)
 
 
+_ASCII_BASES = np.frombuffer(b'ACGTN', dtype=np.uint8)
+
+
 def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
           casemin=5, ctrlmax=0, numbands=None, band=None, skipuntil=None,
           batch_size=batch_mod.DEFAULT_BATCH_SIZE, updateint=1e6,
-          batchstream=None):
-    """Generator yielding annotated (augmented) records with novel k-mers."""
+          batchstream=None, emit='records'):
+    """Generator yielding annotated (augmented) records with novel k-mers.
+
+    ``emit='text'`` yields preformatted augmented-FASTX text blocks (one
+    per screened batch) instead of Records: the hit arrays are serialised
+    columnar-to-text without materialising per-read Python objects — the
+    production write path (used by ``main``).
+    """
     numbands_unset = not numbands
     band_unset = not band and band != 0
     if numbands_unset is not band_unset:
@@ -201,6 +210,68 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
             nreads += 1
             nkmers += len(irecord.annotations)
             yield irecord
+
+    def row_fields(rbatch, r):
+        """(name, sequence, quality) for one batch row without building a
+        Record: native batches decode straight from the columnar arrays."""
+        recs = rbatch.records
+        if isinstance(recs, _LazyRecords):
+            L = int(recs._lengths[r])
+            seq = _ASCII_BASES[rbatch.bases[r, :L]].tobytes().decode('ascii')
+            qual = None
+            if recs._quals is not None:
+                q = recs._quals[r, :L].tobytes().decode('ascii', 'replace')
+                qual = q if q.strip('\x00') else None
+            return recs._names[r], seq, qual
+        rec = recs[r]
+        return rec.name, rec.sequence, getattr(rec, 'quality', None)
+
+    def format_hits(rbatch, hits_np, hitab_np, discard):
+        """Serialise one batch's hits straight to augmented-FASTX text
+        (the production write path: no Record objects, no per-record
+        write calls — columnar arrays to one text block)."""
+        nonlocal nreads, nkmers
+        if not len(hits_np):
+            return ''
+        P = rbatch.bases.shape[1] - ksize + 1
+        hits_np = np.asarray(hits_np)
+        i = hits_np // P
+        p = hits_np - i * P
+        n = len(rbatch.records)
+        ok = (i < n) & ~np.asarray(discard)[np.minimum(i, len(discard) - 1)]
+        if not ok.all():
+            i, p, hitab_np = i[ok], p[ok], np.asarray(hitab_np)[:, ok]
+        if not len(i):
+            return ''
+        # hits arrive in ascending flat order (ascending read, then offset)
+        boundaries = np.flatnonzero(np.diff(i)) + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [len(i)]))
+        abstr = [' '.join(map(str, col))
+                 for col in np.asarray(hitab_np).T.tolist()]
+        parts = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            r = int(i[s])
+            name, seq, qual = row_fields(rbatch, r)
+            if qual is not None:
+                parts.append('@{}\n{}\n+\n{}\n'.format(name, seq, qual))
+            else:
+                parts.append('>{}\n{}\n'.format(name, seq))
+            for j in range(s, e):
+                off = int(p[j])
+                kmer = seq[off:off + ksize]
+                parts.append('{}{}          {}#\n'.format(
+                    ' ' * off, kmer, abstr[j]))
+                unique_kmers.add(kevlar_tpu.revcommin(kmer))
+            nreads += 1
+            nkmers += e - s
+        return ''.join(parts)
+
+    def record_text(record):
+        import io
+        buf = io.StringIO()
+        sequence.print_augmented_fastx(record, buf)
+        return buf.getvalue()
 
     def host_screen(rbatch):
         """Reference-semantics screen against host-engine sketches (khmer
@@ -270,20 +341,22 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
     # time in a single device program (dispatch latency paid once per stack —
     # decisive over remote-compile tunnels, still a win locally).  Only
     # consecutive runs are stacked so the output order stays identical to
-    # the input order.
+    # the input order.  Dispatches are pipelined: up to MAX_INFLIGHT stacks
+    # are enqueued on the device (jax dispatch is asynchronous) before the
+    # oldest result is forced, so host-side parsing/marshalling of stack
+    # N+1 and its host->device transfer overlap the device screen of stack
+    # N.  Results are collected FIFO, so output order stays input order.
     STACK_DEPTH = 8
+    MAX_INFLIGHT = 2
+    emit_text = (emit == 'text')
     pending = []
+    from collections import deque
+    inflight = deque()
 
-    def flush():
-        stack = pending[:]
-        del pending[:]
-        if not stack:
-            return
+    def dispatch_stack(stack):
+        """Enqueue one stack on the device; results are not forced here."""
         if len(stack) == 1:
-            rbatch = stack[0]
-            hits_np, hitab_np, discard = screen_one(rbatch)
-            yield from decode_hits(rbatch, hits_np, hitab_np, discard)
-            return
+            return (stack, None)
         nreal = len(stack)
         bases_stack = np.stack(
             [b.bases for b in stack] +
@@ -297,18 +370,30 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
             # 2-bit wire format: ~3.7x less host->device traffic on the
             # hottest stage (same opt-out as count)
             packed_stack, badmask_stack = batch_mod.pack_bases(bases_stack)
-            hit_idx, hit_abunds, n_hits, discard, skip = \
-                novel_ops.novel_screen_compact_stack_packed(
-                    case_tables, ctrl_tables, packed_stack, badmask_stack,
-                    lengths_stack, L=bases_stack.shape[-1], ksize=ksize,
-                    casemin=casemin, ctrlmax=ctrlmax,
-                    screen=abundscreen, numbands=numbands, band=band)
+            res = novel_ops.novel_screen_compact_stack_packed(
+                case_tables, ctrl_tables, packed_stack, badmask_stack,
+                lengths_stack, L=bases_stack.shape[-1], ksize=ksize,
+                casemin=casemin, ctrlmax=ctrlmax,
+                screen=abundscreen, numbands=numbands, band=band)
         else:
-            hit_idx, hit_abunds, n_hits, discard, skip = \
-                novel_ops.novel_screen_compact_stack(
-                    case_tables, ctrl_tables, bases_stack, lengths_stack,
-                    ksize=ksize, casemin=casemin, ctrlmax=ctrlmax,
-                    screen=abundscreen, numbands=numbands, band=band)
+            res = novel_ops.novel_screen_compact_stack(
+                case_tables, ctrl_tables, bases_stack, lengths_stack,
+                ksize=ksize, casemin=casemin, ctrlmax=ctrlmax,
+                screen=abundscreen, numbands=numbands, band=band)
+        return (stack, res)
+
+    def collect(entry):
+        """Force one in-flight stack's results and decode them."""
+        stack, res = entry
+        if res is None:
+            rbatch = stack[0]
+            hits_np, hitab_np, disc = screen_one(rbatch)
+            if emit_text:
+                yield format_hits(rbatch, hits_np, hitab_np, disc)
+            else:
+                yield from decode_hits(rbatch, hits_np, hitab_np, disc)
+            return
+        hit_idx, hit_abunds, n_hits, discard, skip = res
         n_hits_np = np.asarray(n_hits)
         hit_idx_np = np.asarray(hit_idx)
         hit_abunds_np = np.asarray(hit_abunds)
@@ -316,12 +401,17 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
         for j, rbatch in enumerate(stack):
             nh = int(n_hits_np[j])
             if nh > hit_idx_np.shape[1]:
+                # compaction overflow (extremely k-mer-dense batch): rerun
+                # this batch through the full-mask fallback
                 hits_np, hitab_np, disc = screen_one(rbatch)
             else:
                 hits_np = hit_idx_np[j, :nh]
                 hitab_np = hit_abunds_np[j, :, :nh]
                 disc = discard_np[j]
-            yield from decode_hits(rbatch, hits_np, hitab_np, disc)
+            if emit_text:
+                yield format_hits(rbatch, hits_np, hitab_np, disc)
+            else:
+                yield from decode_hits(rbatch, hits_np, hitab_np, disc)
 
     nskipped = 0
     for rbatch in batchstream:
@@ -348,7 +438,10 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
         nprocessed += len(rbatch)
         progress.update(len(rbatch))
         if hostsketch:
-            yield from host_screen(rbatch)
+            if emit_text:
+                yield from map(record_text, host_screen(rbatch))
+            else:
+                yield from host_screen(rbatch)
             continue
         if sharded:
             from kevlar_tpu.parallel import sharded_novel_screen
@@ -359,15 +452,26 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
             flat = np.nonzero(np.asarray(interesting).ravel())[0]
             abunds_np = np.asarray(abunds).reshape(
                 len(casecounts) + len(controlcounts), -1)
-            yield from decode_hits(rbatch, flat, abunds_np[:, flat],
-                                   np.asarray(discard))
+            if emit_text:
+                yield format_hits(rbatch, flat, abunds_np[:, flat],
+                                  np.asarray(discard))
+            else:
+                yield from decode_hits(rbatch, flat, abunds_np[:, flat],
+                                       np.asarray(discard))
             continue
         if pending and pending[0].bases.shape != rbatch.bases.shape:
-            yield from flush()
+            inflight.append(dispatch_stack(pending))
+            pending = []
         pending.append(rbatch)
         if len(pending) >= STACK_DEPTH:
-            yield from flush()
-    yield from flush()
+            inflight.append(dispatch_stack(pending))
+            pending = []
+        while len(inflight) > MAX_INFLIGHT:
+            yield from collect(inflight.popleft())
+    if pending:
+        inflight.append(dispatch_stack(pending))
+    while inflight:
+        yield from collect(inflight.popleft())
 
     elapsed = timer.stop()
     message = 'Found {:d} instances of {:d} unique novel kmers in {:d} reads'
@@ -418,13 +522,14 @@ def main(args):
             pass
     if batchstream is None:
         caserecords = seqio.multi_file_iter(infiles)
-    readstream = novel(
+    textstream = novel(
         caserecords, cases, controls, ksize=args.ksize,
         abundscreen=args.abund_screen, casemin=args.case_min,
         ctrlmax=args.ctrl_max, numbands=args.num_bands, band=myband,
-        skipuntil=args.skip_until, batchstream=batchstream)
-    for augmented_read in readstream:
-        kevlar_tpu.print_augmented_fastx(augmented_read, outstream)
+        skipuntil=args.skip_until, batchstream=batchstream, emit='text')
+    for textblock in textstream:
+        if textblock:
+            outstream.write(textblock)
 
     total = timer.stop()
     kevlar_tpu.plog(

@@ -104,6 +104,7 @@ class Sketch:
         self.counter_bits = int(counter_bits)
         self.maxcount = MAXCOUNT[self.counter_bits]
         self.backend = backend
+        self._n_occupied = None
         if backend == 'host':
             if tables is None:
                 self.tables = np.zeros((self.ntables, tablesize),
@@ -134,8 +135,12 @@ class Sketch:
     def n_occupied(self):
         # host-side count over the lazily-synced mirror: occupancy feeds FPR
         # logging only, and a dedicated device reduction would cost a jit
-        # compile per CLI process (minutes on remote-compile TPU tunnels)
-        return int(np.count_nonzero(self._host()[0]))
+        # compile per CLI process (minutes on remote-compile TPU tunnels).
+        # Sketches loaded from file carry their occupancy as metadata, so
+        # loading never has to touch (or transfer) the tables at all.
+        if self._n_occupied is None:
+            self._n_occupied = int(np.count_nonzero(self._host()[0]))
+        return self._n_occupied
 
     def n_unique_kmers(self):
         """Estimated distinct k-mers via Bloom occupancy inversion.
@@ -159,6 +164,7 @@ class Sketch:
     def _invalidate(self):
         if self.backend != 'host':
             self._host_tables = None
+        self._n_occupied = None
 
     # -- host-backend counting -------------------------------------------
     def _host_consume_hashes(self, h1, h2, valid=None):
@@ -355,22 +361,37 @@ class Sketch:
 
     # -- persistence ------------------------------------------------------
     def save(self, filename):
-        np.savez_compressed(
-            filename if filename.endswith('.npz') else filename,
-            tables=self._host(), ksize=self._ksize,
-            tablesize=self.tablesize, ntables=self.ntables,
-            counter_bits=self.counter_bits)
-        # numpy appends .npz; rename to the requested (extension-typed) name
+        # Uncompressed by default: sketch files are load-latency-critical
+        # (every downstream stage's wall clock includes loading them) and
+        # zlib decompression of the tables dominated load time.  Set
+        # KEVLAR_COMPRESS_SKETCH=1 to trade load speed for disk.
         import os
+        saver = np.savez_compressed \
+            if os.environ.get('KEVLAR_COMPRESS_SKETCH') == '1' else np.savez
+        saver(filename if filename.endswith('.npz') else filename,
+              tables=self._host(), ksize=self._ksize,
+              tablesize=self.tablesize, ntables=self.ntables,
+              counter_bits=self.counter_bits,
+              n_occupied=self.n_occupied())
+        # numpy appends .npz; rename to the requested (extension-typed) name
         if not filename.endswith('.npz') and os.path.exists(filename + '.npz'):
             os.replace(filename + '.npz', filename)
 
     @classmethod
     def load_file(cls, filename):
         data = np.load(filename, allow_pickle=False)
-        return cls(int(data['ksize']), int(data['tablesize']),
-                   int(data['ntables']), int(data['counter_bits']),
-                   tables=data['tables'])
+        tables = data['tables']
+        sketch = cls(int(data['ksize']), int(data['tablesize']),
+                     int(data['ntables']), int(data['counter_bits']),
+                     tables=tables)
+        # the loaded host tables are identical to what just shipped to the
+        # device: keep them as the host mirror so occupancy/FPR and host
+        # point lookups never pull the tables back over the wire
+        if sketch.backend != 'host':
+            sketch._host_tables = np.asarray(tables, dtype=np.uint8)
+        if 'n_occupied' in getattr(data, 'files', ()):
+            sketch._n_occupied = int(data['n_occupied'])
+        return sketch
 
 
 def _device_mask_tables(mask):

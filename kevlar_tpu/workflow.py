@@ -143,13 +143,27 @@ def run_mark1(config, logstream=None):
     novel_cfg = config.get('novel', {})
     casemin = novel_cfg.get('case_min', 6)
     ctrlmax = novel_cfg.get('ctrl_max', 1)
-    caserecords = seqio.multi_file_iter(case_cfg['fastx'])
+    caserecords = None
+    batchstream = None
+    try:  # native fast path: no per-read Python objects on the stream
+        from kevlar_tpu import native
+        from kevlar_tpu.batch import DEFAULT_BATCH_SIZE
+        if native.available():
+            batchstream = novel_mod.native_read_batches(
+                case_cfg['fastx'], DEFAULT_BATCH_SIZE)
+    except ImportError:
+        pass
+    if batchstream is None:
+        caserecords = seqio.multi_file_iter(case_cfg['fastx'])
     novelfile = path('novel.augfastq.gz')
     with kevlar_tpu.open(novelfile, 'w') as fh:
-        for record in novel_mod.novel(caserecords, [case_counts], ctrl_counts,
-                                      ksize=ksize, casemin=casemin,
-                                      ctrlmax=ctrlmax):
-            kevlar_tpu.print_augmented_fastx(record, fh)
+        for textblock in novel_mod.novel(caserecords, [case_counts],
+                                         ctrl_counts, ksize=ksize,
+                                         casemin=casemin, ctrlmax=ctrlmax,
+                                         batchstream=batchstream,
+                                         emit='text'):
+            if textblock:
+                fh.write(textblock)
 
     # -- step 3: filter (recount against the reference mask) --------------
     _stage('filtering novel reads')

@@ -221,3 +221,20 @@ def test_masked_count_packed_wire_matches_raw(trio, tmp_path, monkeypatch):
         return np.asarray(ct.tables)
 
     assert (count('1') == count('0')).all()
+
+
+def test_novel_text_emit_matches_record_emit(trio, trio_sketches):
+    """emit='text' (the production write path: columnar arrays straight to
+    augmented-FASTX text) must produce byte-identical output to formatting
+    the emitted Records one by one."""
+    import io
+    case, mom, dad = trio_sketches
+
+    recbuf = io.StringIO()
+    for record in novel(iter(trio['child']), [case], [mom, dad],
+                        ksize=KSIZE, casemin=6, ctrlmax=0):
+        kevlar_tpu.print_augmented_fastx(record, recbuf)
+    text = ''.join(novel(iter(trio['child']), [case], [mom, dad],
+                         ksize=KSIZE, casemin=6, ctrlmax=0, emit='text'))
+    assert recbuf.getvalue() == text
+    assert text.count('#\n') > 0
