@@ -39,7 +39,8 @@ def _localized_targets(contigs_by_partition, refrfile, **kw):
 def alac(pstream, refrfile, threads=1, ksize=31, maxreads=10000, delta=50,
          seedsize=31, maxdiff=None, inclpattern=None, exclpattern=None,
          match=1, mismatch=2, gapopen=5, gapextend=0, min_ikmers=None,
-         maskfile=None, maskmem=1e6, maskmaxfpr=0.01, maxtargetlen=10000):
+         maskfile=None, maskmem=1e6, maskmaxfpr=0.01, maxtargetlen=10000,
+         mesh=None):
     from kevlar_tpu import call as call_mod
 
     contigs = _assembled_contigs(pstream, maxreads, threads, min_ikmers)
@@ -47,11 +48,22 @@ def alac(pstream, refrfile, threads=1, ksize=31, maxreads=10000, delta=50,
         contigs, refrfile, seedsize=seedsize, delta=delta, maxdiff=maxdiff,
         inclpattern=inclpattern, exclpattern=exclpattern)
 
+    # one global (size-bucketed, optionally mesh-sharded) alignment batch
+    # across every partition — the device-parallel analog of the
+    # reference's N parallel call shards (Snakefile:345-356)
+    strandings = call_mod.align_partitions(
+        {partid: call_mod.partition_jobs(
+            targets[partid], contigs[partid], maxtargetlen)[3]
+         for partid in targets},
+        match=match, mismatch=mismatch, gapopen=gapopen,
+        gapextend=gapextend, mesh=mesh)
+
     def call_one(partid):
         return list(call_mod.call(
             targets[partid], contigs[partid], partid, match=match,
             mismatch=mismatch, gapopen=gapopen, gapextend=gapextend,
-            ksize=ksize, refrfile=refrfile, maxtargetlen=maxtargetlen))
+            ksize=ksize, refrfile=refrfile, maxtargetlen=maxtargetlen,
+            strandings=strandings[partid]))
 
     partids = sorted(targets, key=lambda p: (p is None, p))
     calls = []
@@ -78,6 +90,12 @@ def alac(pstream, refrfile, threads=1, ksize=31, maxreads=10000, delta=50,
 
 def main(args):
     from kevlar_tpu import vcf
+    mesh = None
+    if getattr(args, 'shards', None):
+        from kevlar_tpu.parallel import make_mesh
+        mesh = make_mesh(n_data=args.shards, n_shard=1)
+        kevlar_tpu.plog('[kevlar::alac] sharding alignment batches over '
+                        'mesh', dict(mesh.shape))
     readstream = kevlar_tpu.parse_augmented_fastx(
         kevlar_tpu.open(args.infile, 'r'))
     if args.part_id:
@@ -87,7 +105,7 @@ def main(args):
     writer = vcf.VCFWriter(kevlar_tpu.open(args.out, 'w'),
                            source='kevlar::alac', refr=args.refr)
     writer.write_header()
-    for varcall in alac(pstream, args.refr, threads=args.threads,
+    for varcall in alac(pstream, args.refr, threads=args.threads, mesh=mesh,
                         ksize=args.ksize, maxreads=args.max_reads,
                         delta=args.delta, seedsize=args.seed_size,
                         maxdiff=args.max_diff, inclpattern=args.include,

@@ -67,10 +67,10 @@ def _partition_mappings(targets, oversize, query, strandings, **kw):
     return mappings
 
 
-def prelim_call(targetlist, querylist, partid=None, match=1, mismatch=2,
-                gapopen=5, gapextend=0, ksize=31, refrfile=None, debug=False,
-                mindist=5, homopolyfilt=True, maxtargetlen=10000):
-    """The core calling procedure, as a generator."""
+def partition_jobs(targetlist, querylist, maxtargetlen=10000):
+    """The deterministic per-partition alignment work list: (sorted
+    queries, sorted targets, oversize flags, (target, query) jobs) — the
+    exact ordering contract of :func:`prelim_call`."""
     queries = sorted(querylist, reverse=True, key=len)
     targets = sorted(targetlist, key=lambda cutout: cutout.defline)
     oversize = [bool(maxtargetlen and len(t) > maxtargetlen)
@@ -78,9 +78,53 @@ def prelim_call(targetlist, querylist, partid=None, match=1, mismatch=2,
     jobs = [(t.sequence, q.sequence)
             for q in queries
             for t, big in zip(targets, oversize) if not big]
-    strandings = iter(align_both_strands_batch(
-        jobs, match=match, mismatch=mismatch, gapopen=gapopen,
-        gapextend=gapextend))
+    return queries, targets, oversize, jobs
+
+
+def align_partitions(jobs_by_partition, match=1, mismatch=2, gapopen=5,
+                     gapextend=0, mesh=None):
+    """Align EVERY partition's (target, query) jobs as one global batch.
+
+    The TPU-native replacement for the reference's N parallel ``call``
+    shard processes (workflows/mark-I/Snakefile:345-356): instead of
+    scattering partitions over processes, the (contig x cutout) pairs of
+    all partitions concatenate into one size-bucketed device batch, and
+    with ``mesh`` the batch axis shards over every device.  Returns
+    {partid: [(score, cigar, strand), ...]} in each partition's job order.
+    """
+    order = sorted(jobs_by_partition, key=lambda p: (p is None, str(p)))
+    flat = []
+    for pid in order:
+        flat += jobs_by_partition[pid]
+    results = align_both_strands_batch(
+        flat, match=match, mismatch=mismatch, gapopen=gapopen,
+        gapextend=gapextend, mesh=mesh, group_buckets=True)
+    out = {}
+    pos = 0
+    for pid in order:
+        n = len(jobs_by_partition[pid])
+        out[pid] = results[pos:pos + n]
+        pos += n
+    return out
+
+
+def prelim_call(targetlist, querylist, partid=None, match=1, mismatch=2,
+                gapopen=5, gapextend=0, ksize=31, refrfile=None, debug=False,
+                mindist=5, homopolyfilt=True, maxtargetlen=10000,
+                strandings=None):
+    """The core calling procedure, as a generator.
+
+    ``strandings`` supplies precomputed (score, cigar, strand) tuples in
+    job order (from :func:`align_partitions`); without it the partition's
+    jobs align here in one device dispatch.
+    """
+    queries, targets, oversize, jobs = partition_jobs(
+        targetlist, querylist, maxtargetlen)
+    if strandings is None:
+        strandings = align_both_strands_batch(
+            jobs, match=match, mismatch=mismatch, gapopen=gapopen,
+            gapextend=gapextend)
+    strandings = iter(strandings)
 
     for query in queries:
         mappings = _partition_mappings(
@@ -146,22 +190,39 @@ def main(args):
                            source='kevlar::call', refr=args.refr)
     writer.write_header()
 
+    mesh = None
+    if getattr(args, 'shards', None):
+        from kevlar_tpu.parallel import make_mesh
+        mesh = make_mesh(n_data=args.shards, n_shard=1)
+        kevlar_tpu.plog('[kevlar::call] sharding alignment batches over '
+                        'mesh', dict(mesh.shape))
+
     contigs_by_partition = load_contigs(seqio.parse_partitioned_reads(
         kevlar_tpu.parse_augmented_fastx(kevlar_tpu.open(args.queryseq,
                                                          'r'))))
     gdnastream = seqio.parse_partitioned_reads(
         reference.load_refr_cutouts(kevlar_tpu.open(args.targetseq, 'r')))
+    targets_by_partition = [
+        (partid, gdnas) for partid, gdnas in gdnastream
+        if partid in contigs_by_partition]
+    # one global (size-bucketed, optionally mesh-sharded) alignment batch
+    # across every partition, then per-partition interpretation
+    strandings = align_partitions(
+        {partid: partition_jobs(gdnas, contigs_by_partition[partid],
+                                args.max_target_length)[3]
+         for partid, gdnas in targets_by_partition},
+        match=args.match, mismatch=args.mismatch, gapopen=args.open,
+        gapextend=args.extend, mesh=mesh)
     maskable = []
-    for partid, gdnas in gdnastream:
-        if partid not in contigs_by_partition:
-            continue
+    for partid, gdnas in targets_by_partition:
         for varcall in call(gdnas, contigs_by_partition[partid], partid,
                             match=args.match, mismatch=args.mismatch,
                             gapopen=args.open, gapextend=args.extend,
                             ksize=args.ksize, refrfile=args.refr,
                             debug=args.debug, mindist=5,
                             homopolyfilt=not args.no_homopoly_filter,
-                            maxtargetlen=args.max_target_length):
+                            maxtargetlen=args.max_target_length,
+                            strandings=strandings[partid]):
             if args.gen_mask:
                 maskable.append(varcall)
             writer.write(varcall)

@@ -202,6 +202,10 @@ def _call_subparser(subparsers):
     sp.add_argument('--refr', metavar='FILE')
     sp.add_argument('-o', '--out', metavar='FILE')
     sp.add_argument('-k', '--ksize', type=int, default=31, metavar='K')
+    sp.add_argument('--shards', type=int, metavar='S', default=None,
+                    help='shard the global contig x cutout alignment batch '
+                    'across S devices (the device-parallel analog of the '
+                    "reference's N parallel call shard processes)")
     sp.add_argument('queryseq', help='assembled contigs (augmented Fasta)')
     sp.add_argument('targetseq', help='reference target cutouts (Fasta)')
 
@@ -224,6 +228,10 @@ def _alac_subparser(subparsers):
     sp.add_argument('-i', '--min-ikmers', metavar='I', type=int, default=None)
     sp.add_argument('-k', '--ksize', type=int, default=31, metavar='K')
     sp.add_argument('-t', '--threads', type=int, default=1, metavar='T')
+    sp.add_argument('--shards', type=int, metavar='S', default=None,
+                    help='shard the global contig x cutout alignment batch '
+                    'across S devices (the device-parallel analog of the '
+                    "reference's N parallel call shard processes)")
     sp.add_argument('infile', help='partitioned reads in augmented format')
     sp.add_argument('refr', help='reference genome in Fasta format')
 

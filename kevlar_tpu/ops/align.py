@@ -348,31 +348,38 @@ def _use_device_batch():
 
 
 def align_both_strands_batch(pairs, match=1, mismatch=2, gapopen=5,
-                             gapextend=0):
+                             gapextend=0, mesh=None, group_buckets=False):
     """Both-strand alignment of many (target, query) pairs.
 
     Returns ``[(score, cigar, strand), ...]`` in input order. On an
     accelerator backend, forward and reverse-complement alignments of every
     pair go to the batched wavefront engine as one size-bucketed dispatch;
-    on host backends this loops the per-pair aligner.
+    on host backends this loops the per-pair aligner.  With ``mesh``, the
+    batch axis shards over every mesh device (forced through the wavefront
+    engine — the sharded path).
     """
     if not pairs:
         return []
-    on_device, engine = _use_device_batch()
+    if mesh is not None:
+        on_device, engine = True, 'wavefront'
+    else:
+        on_device, engine = _use_device_batch()
     if not on_device:
         return [align_both_strands(t, q, match, mismatch, gapopen, gapextend)
                 for t, q in pairs]
     from kevlar_tpu.dna import revcom
+    kw = {}
     if engine == 'pallas':
         from kevlar_tpu.ops.align_pallas import align_batch_pallas as batch
     else:
         from kevlar_tpu.ops.align_ops import align_batch as batch
+        kw = dict(mesh=mesh, group_buckets=group_buckets)
     targets, queries = [], []
     for t, q in pairs:
         targets += [t, t]
         queries += [q, revcom(q)]
     flat = batch(targets, queries, match=match, mismatch=mismatch,
-                 gapopen=gapopen, gapextend=gapextend)
+                 gapopen=gapopen, gapextend=gapextend, **kw)
     picked = []
     for (fwd_cigar, fwd_score), (rev_cigar, rev_score) in zip(flat[::2],
                                                               flat[1::2]):

@@ -156,8 +156,15 @@ def _cigar_from_ops(ops_rev, exit_i, exit_j):
     return ''.join('{}{}'.format(n, c) for c, n in parts)
 
 
+def _bucket(n, floor=64):
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
 def align_batch(target_seqs, query_seqs, match=1, mismatch=2, gapopen=5,
-                gapextend=0):
+                gapextend=0, mesh=None, group_buckets=False):
     """Align many (target, query) string pairs on device; returns
     [(cigar, score), ...] with exact ksw2 semantics.
 
@@ -166,30 +173,68 @@ def align_batch(target_seqs, query_seqs, match=1, mismatch=2, gapopen=5,
     O(log T * log Q * log B) no matter how partition sizes vary (each
     compile costs minutes over a remote-compile tunnel).  Backtrack runs on
     device; only O(B*(T+Q)) bytes come back.
+
+    ``mesh`` shards the batch axis across every device of the mesh (the DP
+    is embarrassingly parallel over pairs, so plain input shardings let XLA
+    partition it — this is the TPU-native replacement for the reference's
+    N parallel ``call`` shard processes, Snakefile:345-356).
+
+    ``group_buckets`` splits a size-heterogeneous pair list into per-
+    (T, Q)-bucket dispatches instead of padding everything to the global
+    maximum — intended for whole-run global batches (the fused alac path),
+    where one oversized cutout would otherwise quadratically inflate every
+    pair's DP.
     """
     from kevlar_tpu import dna
 
-    def bucket(n, floor=64):
-        b = floor
-        while b < n:
-            b *= 2
-        return b
-
     B = len(target_seqs)
     assert len(query_seqs) == B
-    T = bucket(max((len(t) for t in target_seqs), default=1))
-    Q = bucket(max((len(q) for q in query_seqs), default=1))
-    Bpad = bucket(B, floor=8)
+    if B == 0:
+        return []
+
+    if group_buckets:
+        keys = [( _bucket(len(t)), _bucket(len(q)))
+                for t, q in zip(target_seqs, query_seqs)]
+        if len(set(keys)) > 1:
+            groups = {}
+            for idx, key in enumerate(keys):
+                groups.setdefault(key, []).append(idx)
+            results = [None] * B
+            for key in sorted(groups):
+                idxs = groups[key]
+                sub = align_batch([target_seqs[i] for i in idxs],
+                                  [query_seqs[i] for i in idxs],
+                                  match=match, mismatch=mismatch,
+                                  gapopen=gapopen, gapextend=gapextend,
+                                  mesh=mesh)
+                for i, r in zip(idxs, sub):
+                    results[i] = r
+            return results
+
+    T = _bucket(max((len(t) for t in target_seqs), default=1))
+    Q = _bucket(max((len(q) for q in query_seqs), default=1))
+    Bpad = _bucket(B, floor=8)
+    if mesh is not None:
+        ndev = int(np.prod(list(mesh.shape.values())))
+        if Bpad % ndev:
+            Bpad = -(-Bpad // ndev) * ndev
     pad_rows = [''] * (Bpad - B)
     targets, tlens = dna.encode_batch(list(target_seqs) + pad_rows, pad_to=T)
     queries, qlens = dna.encode_batch(list(query_seqs) + pad_rows, pad_to=Q)
 
+    if mesh is None:
+        dev = (jnp.asarray(targets), jnp.asarray(tlens),
+               jnp.asarray(queries), jnp.asarray(qlens))
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+        batch_sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names))
+        dev = tuple(jax.device_put(x, batch_sharding)
+                    for x in (targets, tlens, queries, qlens))
     scores, zdiags = _align_wavefront_batch(
-        jnp.asarray(targets), jnp.asarray(tlens), jnp.asarray(queries),
-        jnp.asarray(qlens), T=T, Q=Q, match=match, mismatch=mismatch,
-        gapopen=gapopen, gapextend=gapextend)
+        dev[0], dev[1], dev[2], dev[3], T=T, Q=Q, match=match,
+        mismatch=mismatch, gapopen=gapopen, gapextend=gapextend)
     ops_rev, exit_i, exit_j = _traceback_batch(
-        zdiags, jnp.asarray(tlens), jnp.asarray(qlens), T=T, Q=Q)
+        zdiags, dev[1], dev[3], T=T, Q=Q)
     scores = np.asarray(scores)
     ops_rev = np.asarray(ops_rev)
     exit_i = np.asarray(exit_i)

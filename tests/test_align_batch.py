@@ -39,3 +39,78 @@ def test_batch_aligner_mixed_lengths():
     got = align_batch(targets, queries)
     for (cig, score), t, q in zip(got, targets, queries):
         assert (cig, score) == align_scalar(t, q)
+
+
+def test_mesh_sharded_align_matches_host():
+    """Sharding the alignment batch axis across the 8-device CPU mesh must
+    give (score, cigar, strand) identical to the host scalar aligner —
+    the sharded call path's correctness pin (the TPU-native analog of the
+    reference's N parallel call shards, Snakefile:345-356)."""
+    import random
+    from kevlar_tpu.dna import revcom
+    from kevlar_tpu.ops.align import align_both_strands_batch
+    from kevlar_tpu.parallel import make_mesh
+
+    rng = random.Random(99)
+    pairs = []
+    for i in range(13):   # deliberately not a multiple of the device count
+        tlen = rng.choice((80, 150, 300))
+        target = ''.join(rng.choice('ACGT') for _ in range(tlen))
+        # query: a mutated window of the target, sometimes revcom
+        lo = rng.randrange(0, tlen // 2)
+        q = list(target[lo:lo + tlen // 2 + 10])
+        q[len(q) // 2] = 'A' if q[len(q) // 2] != 'A' else 'C'
+        query = ''.join(q)
+        if i % 3 == 0:
+            query = revcom(query)
+        pairs.append((target, query))
+
+    host = align_both_strands_batch(pairs)            # host loop on CPU
+    mesh = make_mesh(n_data=8, n_shard=1)
+    sharded = align_both_strands_batch(pairs, mesh=mesh, group_buckets=True)
+    assert host == sharded
+
+
+def test_align_partitions_matches_per_partition_call():
+    """The global cross-partition alignment batch must hand every
+    partition exactly the strandings its own per-partition dispatch would
+    compute."""
+    import random
+    from kevlar_tpu import call as call_mod
+    from kevlar_tpu.ops.align import align_both_strands_batch
+    from kevlar_tpu.parallel import make_mesh
+
+    rng = random.Random(7)
+
+    class FakeCutout:
+        def __init__(self, name, seq):
+            self.defline = name
+            self.sequence = seq
+
+        def __len__(self):
+            return len(self.sequence)
+
+    class FakeContig:
+        def __init__(self, name, seq):
+            self.name = name
+            self.sequence = seq
+
+        def __len__(self):
+            return len(self.sequence)
+
+    jobs_by_part = {}
+    for pid in ('1', '2', '3'):
+        genome = ''.join(rng.choice('ACGT') for _ in range(400))
+        targets = [FakeCutout('chr1_{}-400'.format(i), genome[i:i + 220])
+                   for i in (0, 90)]
+        q = list(genome[40:40 + 160])
+        q[80] = 'A' if q[80] != 'A' else 'G'
+        queries = [FakeContig('contig{}'.format(pid), ''.join(q))]
+        _, _, _, jobs = call_mod.partition_jobs(targets, queries)
+        jobs_by_part[pid] = jobs
+
+    mesh = make_mesh(n_data=8, n_shard=1)
+    got = call_mod.align_partitions(jobs_by_part, mesh=mesh)
+    for pid, jobs in jobs_by_part.items():
+        expect = align_both_strands_batch(jobs)
+        assert got[pid] == expect, pid
