@@ -151,3 +151,41 @@ def test_sharded_packed_counters_match_host():
         h1, h2, v = dna.kmer_hashes(bases, 21)
         expected = np.where(v, single._host_counts(h1, h2), 0)
         assert np.array_equal(counts, expected.astype(np.uint8))
+
+
+@pytest.mark.slow
+def test_sharded_sketch_at_scale_proxy():
+    """Human-scale memory exercise, scaled to the CPU mesh: a 512 MB-class
+    hash space sharded 8 ways must place exactly 1/8 of the (packed) table
+    on each device, never gather to the host, and count/query correctly.
+
+    Sizing contract being modeled (docs/sharding.md): the reference
+    recommends 10-20 GB/sample sketches for human 30x WGS
+    (reference docs/tutorial.rst:51); on 16 GB-HBM chips that is 1-2
+    devices per sample, and a 72 GB uncorrected-read sketch shards over 8.
+    This proxy keeps the same shards-of-one-table structure at 1/128
+    scale so the test fits CI RAM.
+    """
+    import jax
+    import numpy as np
+    from kevlar_tpu import dna
+    from kevlar_tpu.parallel import make_mesh, ShardedSketch
+
+    mesh = make_mesh(n_data=1, n_shard=8)
+    total = 512 * 1024 * 1024 // 128        # 4 Mbuckets -> 8-bit = 4 MB/table
+    sk = ShardedSketch(mesh, 31, total, ntables=4, counter_bits=8)
+    # one shard of every table row lives on each device
+    shards = sk.tables.addressable_shards
+    assert len(shards) == 8
+    per_dev = {s.device: s.data.shape for s in shards}
+    assert len(per_dev) == 8
+    for shape in per_dev.values():
+        assert shape == (4, sk.shard_width)
+    # consume + query round-trip without any host gather
+    rng = np.random.default_rng(5)
+    seqs = [''.join(rng.choice(list('ACGT'), size=100)) for _ in range(64)]
+    bases, lengths = dna.encode_batch(seqs)
+    sk.consume_batch(bases)
+    counts, valid = sk.query_batch(bases)
+    assert (np.asarray(counts)[np.asarray(valid)] >= 1).all()
+    assert getattr(sk, '_host_tables', None) is None
