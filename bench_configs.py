@@ -103,7 +103,8 @@ def main():
     for who in ('proband', 'mother', 'father'):
         nreads[who] = simulate_reads('trio-{}.fasta'.format(who),
                                      who + '.fq', args.coverage,
-                                     args.readlen, args.error, rng)
+                                     args.readlen, args.error,
+                                     rng.randrange(1 << 30))
     total_reads = sum(nreads.values())
     print('# reads per sample:', nreads, file=sys.stderr)
 
