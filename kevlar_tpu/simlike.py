@@ -236,6 +236,89 @@ class _AbundanceBundle:
                    for ctrl in self.controls)
 
 
+def _use_batched_gather(case, controls, refr):
+    """Whether to batch every call's window queries into device dispatches.
+
+    Default: only when a sketch is mesh-sharded (its point queries are
+    device programs, so per-call gathers would pay one dispatch per call).
+    ``KEVLAR_SIMLIKE_BATCH=1/0`` forces/disables.
+    """
+    import os
+    forced = os.environ.get('KEVLAR_SIMLIKE_BATCH')
+    if forced is not None:
+        return forced == '1'
+    from kevlar_tpu.parallel.sharded import ShardedSketch
+    return any(isinstance(s, ShardedSketch)
+               for s in [case] + list(controls) + [refr])
+
+
+def gather_bundles_batched(windowpairs, case, controls, refr,
+                           dropoutliers=False):
+    """One :class:`_AbundanceBundle` per (altseq, refrseq) pair, with every
+    sample's window queries batched into bucketed device dispatches.
+
+    The columnar (call x k-mer) tensors ride a handful of ``query_batch``
+    programs — one per (sample, length-bucket) — instead of per-call point
+    gathers; decisive for mesh-sharded sketches (whose point queries are
+    device programs) and for large VCFs.  Bit-equal to per-call
+    ``_AbundanceBundle.gather`` (pinned in tests/test_simlike.py).
+    Reference semantics: simlike.py:51-96.
+    """
+    from kevlar_tpu import dna
+    from kevlar_tpu.batch import bucket_length, pad_batch_rows
+
+    k = case.ksize()
+    samples = [case] + list(controls)
+    bundles = [None] * len(windowpairs)
+
+    def batched_counts(sketch, rows, bucket):
+        bases, _ = dna.encode_batch(rows, pad_to=bucket)
+        B = len(rows)
+        rowpad = 8
+        while rowpad < B:
+            rowpad *= 2
+        counts, valid = sketch.query_batch(pad_batch_rows(bases, rowpad))
+        counts = np.asarray(counts)[:B]
+        valid = np.asarray(valid)[:B]
+        return np.where(valid, counts, 0)
+
+    groups = {}
+    for i, (alt, _refrseq) in enumerate(windowpairs):
+        groups.setdefault(bucket_length(len(alt)), []).append(i)
+    for bucket, idxs in sorted(groups.items()):
+        alts = [windowpairs[i][0] for i in idxs]
+        percounts = [batched_counts(s, alts, bucket) for s in samples]
+        refrcnt = batched_counts(refr, alts, bucket)
+        # SNV/MNV rows additionally query the REF window for copy numbers
+        snv = [i for i in idxs
+               if len(windowpairs[i][1]) == len(windowpairs[i][0])]
+        refrwin_counts = {}
+        if snv:
+            rbucket = max(bucket_length(len(windowpairs[i][1]))
+                          for i in snv)
+            rc = batched_counts(refr, [windowpairs[i][1] for i in snv],
+                                rbucket)
+            refrwin_counts = {i: rc[j] for j, i in enumerate(snv)}
+        for j, i in enumerate(idxs):
+            alt, refrseq = windowpairs[i]
+            P = len(alt) - k + 1
+            novel = refrcnt[j][:P] == 0
+            casevec = percounts[0][j][:P][novel]
+            ctrlvecs = [percounts[1 + c][j][:P][novel]
+                        for c in range(len(controls))]
+            if dropoutliers:
+                casevec = _AbundanceBundle._drop_outliers(casevec)
+                ctrlvecs = [_AbundanceBundle._drop_outliers(c)
+                            for c in ctrlvecs]
+            if len(alt) == len(refrseq):
+                refrcopies = list(refrwin_counts[i][:P][novel])
+            else:
+                refrcopies = [None] * len(casevec)
+            bundles[i] = _AbundanceBundle(casevec, ctrlvecs, refrcopies,
+                                          P - len(casevec))
+    return bundles
+
+
 def spanning_kmer_abundances(altseq, refrseq, case, controls, refr,
                              dropoutliers=False):
     """Abundances of variant-spanning k-mers, dropping k-mers present in
@@ -336,22 +419,46 @@ def simlike(variants, case, controls, refr, mu=30.0, sigma=8.0, epsilon=0.001,
         call.annotate('LIKESCORE', float('-inf'))
         by_partition[call.attribute('PART')].append(call)
 
-    for call in variants:
-        if (fastmode and call.filterstr != 'PASS') or \
-                _defective_window(call, case.ksize()):
-            park(call)
-            continue
-        bundle = _AbundanceBundle.gather(
-            call.window, call.refrwindow, case, controls, refr,
-            dropoutliers=dropoutliers)
+    def process(call, bundle):
         call.annotate('DROPPED', bundle.ndropped)
         _screen(call, bundle, casemin, ctrlmax, caseabundlow, ctrlabundhigh)
         if fastmode and call.filterstr != 'PASS':
             park(call)
-            continue
+            return
         _score(call, bundle, mu, sigma, epsilon)
         _annotate_sample_data(call, bundle, samplelabels)
         by_partition[call.attribute('PART')].append(call)
+
+    if _use_batched_gather(case, controls, refr):
+        # device-batch path: every scoreable call's window queries ride a
+        # handful of bucketed query_batch dispatches (mesh-sharded
+        # sketches pay one device program per call otherwise)
+        calls = list(variants)
+        slots = []
+        pairs = []
+        for call in calls:
+            if (fastmode and call.filterstr != 'PASS') or \
+                    _defective_window(call, case.ksize()):
+                slots.append(None)
+            else:
+                slots.append(len(pairs))
+                pairs.append((call.window, call.refrwindow))
+        bundles = gather_bundles_batched(pairs, case, controls, refr,
+                                         dropoutliers=dropoutliers)
+        for call, slot in zip(calls, slots):
+            if slot is None:
+                park(call)
+            else:
+                process(call, bundles[slot])
+    else:
+        for call in variants:
+            if (fastmode and call.filterstr != 'PASS') or \
+                    _defective_window(call, case.ksize()):
+                park(call)
+                continue
+            process(call, _AbundanceBundle.gather(
+                call.window, call.refrwindow, case, controls, refr,
+                dropoutliers=dropoutliers))
 
     ranked = []
     for partitionid, calls in by_partition.items():

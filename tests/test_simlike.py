@@ -231,3 +231,70 @@ def test_vectorised_likelihoods_match_scalar():
             ref_ih += best
         ref_ih += math.log(15 / 11)
         assert llih == pytest.approx(ref_ih, rel=1e-9)
+
+
+def _vcf_rows(calls):
+    import io
+    from kevlar_tpu import vcf as vcf_mod
+    buf = io.StringIO()
+    w = vcf_mod.VCFWriter(buf, source='test')
+    for lbl in ('Case', 'Control1', 'Control2'):
+        w.register_sample(lbl)
+    w.write_header()
+    for c in calls:
+        w.write(c)
+    return [l for l in buf.getvalue().splitlines() if not l.startswith('#')]
+
+
+def _three_calls(d):
+    p = d['snvpos']
+    denovo = Variant('chr1', p, d['ref'], d['alt'],
+                     ALTWINDOW=d['child'][p - KSIZE + 1:p + KSIZE],
+                     REFRWINDOW=d['genome'][p - KSIZE + 1:p + KSIZE],
+                     PART='1')
+    boring = Variant('chr1', 100, d['genome'][100], 'N',
+                     ALTWINDOW=d['genome'][100 - KSIZE + 1:100 + KSIZE],
+                     REFRWINDOW=d['genome'][100 - KSIZE + 1:100 + KSIZE],
+                     PART='2')
+    # indel-shaped windows (different lengths -> refrabund=None mode)
+    ins = Variant('chr1', 200, d['genome'][200], d['genome'][200] + 'ACGTA',
+                  ALTWINDOW=d['child'][p - KSIZE + 1:p + KSIZE - 5],
+                  REFRWINDOW=d['genome'][200 - KSIZE + 1:200 + KSIZE],
+                  PART='3')
+    return [denovo, boring, ins]
+
+
+def test_batched_gather_matches_per_call(scoring_trio, monkeypatch):
+    """The device-batch bundle gather (bucketed query_batch dispatches)
+    must reproduce the per-call host gather bit-for-bit: identical VCF
+    rows including LIKESCORE/LLDN/LLFP/LLIH and ALTABUND strings."""
+    d = scoring_trio
+
+    def run():
+        return _vcf_rows(simlike(
+            iter(_three_calls(d)), d['case'], [d['mom'], d['dad']],
+            d['refr'], mu=10.0, sigma=3.0, casemin=6))
+
+    monkeypatch.setenv('KEVLAR_SIMLIKE_BATCH', '0')
+    host = run()
+    monkeypatch.setenv('KEVLAR_SIMLIKE_BATCH', '1')
+    batched = run()
+    assert host == batched
+    assert len(host) == 3
+
+
+def test_batched_gather_default_for_sharded_sketches(scoring_trio):
+    """Mesh-sharded sketches take the batched path automatically and
+    produce the same scores as unsharded host gathering."""
+    from kevlar_tpu.parallel import make_mesh, ShardedSketch
+    d = scoring_trio
+    host = _vcf_rows(simlike(
+        iter(_three_calls(d)), d['case'], [d['mom'], d['dad']],
+        d['refr'], mu=10.0, sigma=3.0, casemin=6))
+    mesh = make_mesh(n_data=1, n_shard=8)
+    sh = {k: ShardedSketch.from_sketch(mesh, d[k])
+          for k in ('case', 'mom', 'dad', 'refr')}
+    sharded = _vcf_rows(simlike(
+        iter(_three_calls(d)), sh['case'], [sh['mom'], sh['dad']],
+        sh['refr'], mu=10.0, sigma=3.0, casemin=6))
+    assert host == sharded
