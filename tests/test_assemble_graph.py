@@ -242,3 +242,91 @@ def test_tiny_partition_below_support_floor():
     genome = simdata.make_genome(rng, 200)
     reads = [genome[0:100], genome[40:140], genome[80:180]]
     assert list(native.assemble(reads, min_overlap=45)) == []
+
+
+# ---------------------------------------------------------------------------
+# VCF-neutrality of the four contig divergences: the variant records the
+# pipeline emits downstream (localize -> align -> call) are identical for
+# our contigs and the reference's published contigs, so the bit-identical-
+# VCF claim holds with no contig asterisks.
+# ---------------------------------------------------------------------------
+
+def _downstream_records(contig_records, genome_path, ksize=31, seedsize=51):
+    """(seqid, pos, ref, alt, ALTWINDOW, REFRWINDOW, FILTER) rows from
+    localize -> align -> call of the given contigs."""
+    from collections import defaultdict
+    from kevlar_tpu import localize as loc, call as call_mod
+    targets = defaultdict(list)
+    for partid, gdna in loc.localize([('1', contig_records)], genome_path,
+                                     seedsize=seedsize, delta=50):
+        targets[partid].append(gdna)
+    calls = list(call_mod.call(targets['1'], contig_records, '1',
+                               ksize=ksize))
+    return [(c._seqid, c._pos, c._refr, c._alt, c.attribute('ALTWINDOW'),
+             c.attribute('REFRWINDOW'), c.filterstr) for c in calls]
+
+
+@pytest.mark.parametrize('part', ['4', '5'])
+def test_fiveparts_divergent_contigs_are_vcf_neutral(part):
+    """Parts 4/5 assemble to conservative sub-contigs of the reference's;
+    running BOTH through localize->call against fiveparts-refr must emit
+    identical variant records (CIGAR/CONTIG necessarily reflect the contig
+    and are excluded; everything variant-bearing must match)."""
+    from collections import defaultdict
+    from kevlar_tpu.assemble import assemble
+
+    refcontigs = defaultdict(list)
+    for rec in parse_augmented_fastx(
+            kevlar_tpu.open(data_file('fiveparts.contigs.augfasta.gz'),
+                            'r')):
+        label = re.search(r'kvcc=(\S+)', rec.name).group(1)
+        refcontigs[label].append(rec)
+    ourcontigs = defaultdict(list)
+    stream = parse_augmented_fastx(
+        kevlar_tpu.open(data_file('fiveparts.augfastq.gz'), 'r'))
+    for partid, contig in assemble(parse_partitioned_reads(stream)):
+        ourcontigs[partid].append(contig)
+
+    genome = data_file('fiveparts-refr.fa.gz')
+    rows_ref = _downstream_records(refcontigs[part], genome)
+    rows_ours = _downstream_records(ourcontigs[part], genome)
+    assert rows_ref == rows_ours
+    assert rows_ref and rows_ref[0][-1] == 'PASS'
+
+
+@pytest.mark.parametrize('filename,ext_pin', sorted(FML_PINS_SUFFIX.items()))
+def test_contig_end_extension_is_vcf_neutral(filename, ext_pin):
+    """cc110/reads2chain: our assembler keeps a read-supported left-end
+    extension fermi-lite discards.  Embedding the ACTUAL contigs in a
+    genome carrying the REF allele at a mid-contig SNV, the extended and
+    unextended contigs must call the identical variant record — the
+    extension only lengthens the aligned reference flank."""
+    import tempfile
+    from kevlar_tpu.sequence import Record
+
+    K = 31
+    ext_len, pin = ext_pin
+    ours = canonically(contigs_for(filename)[0], pin)
+    rng = random.Random(13)
+    snvoff = len(ours) // 2
+    alt = ours[snvoff]
+    ref = 'A' if alt != 'A' else 'G'
+    locus = ours[:snvoff] + ref + ours[snvoff + 1:]
+    genome = (''.join(rng.choice('ACGT') for _ in range(400)) + locus +
+              ''.join(rng.choice('ACGT') for _ in range(400)))
+
+    def contig_record(seq, off):
+        rec = Record(name='contig1', sequence=seq)
+        rec.annotate(seq[off - K + 1:off + 1], off - K + 1, (9, 0, 0))
+        return rec
+
+    with tempfile.NamedTemporaryFile('w', suffix='.fa') as fh:
+        fh.write('>chrT\n' + genome + '\n')
+        fh.flush()
+        rows_ours = _downstream_records(
+            [contig_record(ours, snvoff)], fh.name)
+        rows_ref = _downstream_records(
+            [contig_record(pin, snvoff - ext_len)], fh.name)
+    assert rows_ours == rows_ref
+    assert rows_ours and rows_ours[0][2:4] == (ref, alt)
+    assert rows_ours[0][-1] == 'PASS'
