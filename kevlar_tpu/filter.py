@@ -21,10 +21,16 @@ from kevlar_tpu.sketch import Sketch, estimate_fpr, KevlarUnsuitableFPRError
 
 
 def _hash_annotations(read):
-    """Hash each annotated k-mer of one read -> (h1, h2) uint32 arrays."""
-    pairs = [dna.hash_kmer(read.ikmerseq(ik)) for ik in read.annotations]
-    arr = np.array(pairs, dtype=np.uint32).reshape(len(pairs), 2)
-    return arr[:, 0], arr[:, 1]
+    """Hash each annotated k-mer of one read -> (h1, h2) uint32 arrays.
+
+    Every window of the read hashes in one vectorised pass and the
+    annotated offsets are gathered from it (per-annotation scalar hashing
+    dominated the filter stage's profile)."""
+    ksize = read.annotations[0].ksize
+    h1, h2, _valid = dna.kmer_hashes(dna.encode(read.sequence), ksize)
+    offs = np.fromiter((ik.offset for ik in read.annotations),
+                       dtype=np.int64, count=len(read.annotations))
+    return h1[offs], h2[offs]
 
 
 class _BlockCounter:

@@ -179,11 +179,12 @@ class Sketch:
             h2 = h2.ravel()
         for t in range(self.ntables):
             idx = ((h1 + np.uint32(t) * h2) % np.uint32(self.tablesize))
-            inc = np.bincount(idx.astype(np.int64),
-                              minlength=self.tablesize)
-            self.tables[t] = np.minimum(
-                self.tables[t].astype(np.int64) + inc,
-                self.maxcount).astype(np.uint8)
+            # touch only the hit buckets: a full-table bincount (plus the
+            # int64 widening of the whole table) made every chunk O(table)
+            uniq, cnt = np.unique(idx.astype(np.int64), return_counts=True)
+            cur = self.tables[t][uniq].astype(np.int64)
+            self.tables[t][uniq] = np.minimum(
+                cur + cnt, self.maxcount).astype(np.uint8)
         self._host_tables = self.tables
         return len(h1)
 

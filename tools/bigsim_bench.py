@@ -1,0 +1,279 @@
+"""Bigsim-scale accuracy + throughput run (chr17-class trio).
+
+The reference's headline accuracy artifacts are VCFs + ROC curves for a
+simulated chr17 hg38 trio at 10-50x coverage
+(/root/reference/notebook/bigsim/, e.g. 30x_k31_kevlar_calls_like.vcf.gz;
+truth set SimulatedVariants_chr17_hg38.tsv.gz, ~1.6k de novo variants:
+SNVs + indels 5-400 bp).  The underlying genome (hg38) and read sets are
+not distributable with the repo and this environment has no network
+egress, so an exact head-to-head on their reads is impossible; this tool
+runs the faithful analog — a simulated trio at the same scale (80 Mb,
+30x, SNV+ins+del spectrum with indel spans 5-350), through the full
+pipeline (count -> novel -> filter -> partition -> alac -> simlike), and
+evaluates calls against the truth with the reference's own protocol
+(tolerance-10 interval match, per-type/size classes, rank by LIKESCORE —
+notebook/bigsim/evaluate.py).  Results land in ACCURACY_BIGSIM.json next
+to this script, alongside the reference's published 30x operating point
+(from notebook/bigsim/roc-data.json) for context.
+
+Usage: python tools/bigsim_bench.py [--genome-size 80000000] [--coverage 30]
+       (several hours on the tunneled TPU at full scale; use
+        --genome-size 5000000 for a smoke run)
+"""
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def timed_stage(arglist):
+    import kevlar_tpu.cli as cli
+    import kevlar_tpu
+    args = cli.parse_args([str(a) for a in arglist])
+    mains = {name: getattr(getattr(kevlar_tpu, name), 'main')
+             for name in ('count', 'novel', 'filter', 'partition', 'alac',
+                          'simlike', 'gentrio')}
+    t0 = time.time()
+    mains[arglist[0]](args)
+    return time.time() - t0
+
+
+def simulate_genome(path, size, seed):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=size, dtype=np.uint8)
+    seq = np.frombuffer(b'ACGT', np.uint8)[codes]
+    with open(path, 'wb') as fh:
+        fh.write(b'>chrS\n')
+        row = 1 << 20
+        for i in range(0, size, row):
+            fh.write(seq[i:i + row].tobytes())
+            fh.write(b'\n')
+
+
+def truth_rows(vcffile):
+    """[(pos0, type, size)] for the de novo rows of a gentrio truth VCF."""
+    rows = []
+    with open(vcffile) as fh:
+        for line in fh:
+            if line.startswith('#'):
+                continue
+            f = line.rstrip('\n').split('\t')
+            gt = [x.split('=', 1)[1] for x in f[7].split(';')
+                  if x.startswith('GT=')][0]
+            child = gt.split(',')[0]
+            parents = gt.split(',')[1:]
+            denovo = child in ('0/1', '1/0', '1/1') and \
+                all(p == '0/0' for p in parents)
+            if not denovo:
+                continue
+            ref, alt = f[3], f[4]
+            if len(ref) == 1 == len(alt):
+                rows.append((int(f[1]) - 1, 'SNV', 0))
+            elif len(alt) > len(ref):
+                rows.append((int(f[1]) - 1, 'INDEL', len(alt) - len(ref)))
+            else:
+                rows.append((int(f[1]) - 1, 'INDEL', len(ref) - len(alt)))
+    return rows
+
+
+SIZE_CLASSES = [('SNVs', 'SNV', 0, 0), ('INDELs 1-10bp', 'INDEL', 1, 10),
+                ('INDELs 11-100bp', 'INDEL', 11, 100),
+                ('INDELs 101-200bp', 'INDEL', 101, 200),
+                ('INDELs 201-300bp', 'INDEL', 201, 300),
+                ('INDELs 301-400bp', 'INDEL', 301, 400)]
+
+
+def classify(vartype, size):
+    for name, t, lo, hi in SIZE_CLASSES:
+        if vartype == t and lo <= size <= hi:
+            return name
+    return None
+
+
+def evaluate(truth, scored_vcf, tolerance=10):
+    """Reference-protocol evaluation (notebook/bigsim/evaluate.py):
+    calls ranked by LIKESCORE; a call matches a truth variant when their
+    (tolerance-extended) intervals overlap; first match wins (later calls
+    hitting the same variant are collisions, not new TPs)."""
+    calls = []
+    with open(scored_vcf) as fh:
+        for line in fh:
+            if line.startswith('#'):
+                continue
+            f = line.rstrip('\n').split('\t')
+            info = dict(kv.split('=', 1) for kv in f[7].split(';')
+                        if '=' in kv)
+            like = float(info.get('LIKESCORE', '-inf'))
+            pos = int(f[1]) - 1
+            span = max(len(f[3]), len(f[4]))
+            calls.append((like, pos, pos + span, f[6]))
+    calls.sort(key=lambda c: -c[0])
+
+    per_class = {name: dict(total=0, tp=0, fp=0) for name, *_ in SIZE_CLASSES}
+    for pos, vartype, size in truth:
+        cls = classify(vartype, size)
+        if cls:
+            per_class[cls]['total'] += 1
+    matched = set()
+    results = []
+    for like, lo, hi, filt in calls:
+        if filt != 'PASS':
+            continue
+        hit = None
+        for i, (pos, vartype, size) in enumerate(truth):
+            span = max(1, size)
+            if lo - tolerance < pos + span and pos - tolerance < hi:
+                hit = i
+                break
+        if hit is None:
+            # false call: bin as SNV/indel by allele length
+            cls = 'SNVs' if hi - lo == 1 else None
+            results.append(('FP', like, cls))
+        elif hit in matched:
+            results.append(('collision', like, None))
+        else:
+            matched.add(hit)
+            pos, vartype, size = truth[hit]
+            results.append(('TP', like, classify(vartype, size)))
+    for kind, like, cls in results:
+        if kind == 'TP' and cls:
+            per_class[cls]['tp'] += 1
+    fps = sum(1 for kind, _, _ in results if kind == 'FP')
+    tps = len(matched)
+    return dict(
+        per_class={k: dict(v, recall=round(v['tp'] / v['total'], 4)
+                           if v['total'] else None)
+                   for k, v in per_class.items()},
+        tp=tps, fp=fps, collisions=sum(1 for k, _, _ in results
+                                       if k == 'collision'),
+        total_truth=len(truth),
+        recall=round(tps / len(truth), 4) if truth else None,
+        fdr=round(fps / max(1, tps + fps), 4))
+
+
+def reference_operating_point():
+    """The reference's own 30x/k31 numbers from its checked-in ROC data."""
+    path = '/root/reference/notebook/bigsim/roc-data.json'
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        roc = json.load(fh)['kevlar']['30']
+    return {cls: dict(n_points=len(arr), max_tp=max(arr))
+            for cls, arr in roc.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--genome-size', type=int, default=80_000_000)
+    ap.add_argument('--coverage', type=int, default=30)
+    ap.add_argument('--error', type=float, default=0.002)
+    ap.add_argument('--readlen', type=int, default=150)
+    ap.add_argument('--denovo', type=int, default=1500)
+    ap.add_argument('--inherited', type=int, default=1000)
+    ap.add_argument('--seed', type=int, default=20260820)
+    ap.add_argument('--memory', default=None, help='per-sample sketch '
+                    'memory (default: scaled to genome size)')
+    ap.add_argument('--workdir', default=None)
+    ap.add_argument('--out', default=os.path.join(REPO,
+                                                  'ACCURACY_BIGSIM.json'))
+    args = ap.parse_args()
+
+    import tempfile
+    workdir = args.workdir or tempfile.mkdtemp(prefix='kevlar_bigsim_')
+    os.makedirs(workdir, exist_ok=True)
+    os.chdir(workdir)
+    print('# workdir:', workdir, file=sys.stderr)
+
+    # sketch sizing: distinct k-mers ~= genome + read errors; FPR <= ~0.05
+    mem = args.memory
+    if mem is None:
+        distinct = args.genome_size + int(
+            2 * args.genome_size * args.coverage * args.error * 31 / 2)
+        mem = str(int(distinct * 6))
+    print('# per-sample sketch memory:', mem, file=sys.stderr)
+
+    from sim_trio_bench import simulate_reads
+    wall = {}
+    t0 = time.time()
+    simulate_genome('genome.fa', args.genome_size, args.seed)
+    timed_stage(['gentrio', '--vcf', 'truth.vcf', '--prefix', 'trio',
+                 '--inherited', args.inherited, '--de-novo', args.denovo,
+                 '--seed', args.seed, 'genome.fa'])
+    rng = random.Random(args.seed)
+    nreads = {}
+    for who in ('proband', 'mother', 'father'):
+        nreads[who] = simulate_reads('trio-{}.fasta'.format(who),
+                                     who + '.fq', args.coverage,
+                                     args.readlen, args.error,
+                                     rng.randrange(1 << 30))
+    wall['simulate'] = round(time.time() - t0, 1)
+    print('# reads:', nreads, 'sim wall:', wall['simulate'], file=sys.stderr)
+
+    for who, fpr in (('proband', 0.6), ('mother', 0.3), ('father', 0.3)):
+        wall['count_' + who] = round(timed_stage(
+            ['count', '-k', 31, '-M', mem, '--max-fpr', fpr,
+             who + '.ct', who + '.fq']), 1)
+        print('# count', who, wall['count_' + who], 's', file=sys.stderr)
+    wall['novel'] = round(timed_stage(
+        ['novel', '-k', 31, '--case', 'proband.fq',
+         '--case-counts', 'proband.ct',
+         '--control-counts', 'mother.ct', 'father.ct',
+         '--ctrl-max', 1, '--case-min', 5, '--out', 'novel.augfastq']), 1)
+    wall['filter'] = round(timed_stage(
+        ['filter', '-M', '1G', '--max-fpr', 0.05, '--case-min', 5,
+         '--out', 'filtered.augfastq', 'novel.augfastq']), 1)
+    wall['partition'] = round(timed_stage(
+        ['partition', '--out', 'partitioned.augfastq',
+         'filtered.augfastq']), 1)
+    wall['alac'] = round(timed_stage(
+        ['alac', '-k', 31, '--out', 'calls.vcf', '--delta', 50,
+         '--seed-size', 51, 'partitioned.augfastq', 'genome.fa']), 1)
+    wall['refr_count'] = round(timed_stage(
+        ['count', '-k', 31, '-c', 4, '-M', mem, '--max-fpr', 0.5,
+         'refr.sct', 'genome.fa']), 1)
+    wall['simlike'] = round(timed_stage(
+        ['simlike', '--case', 'proband.ct',
+         '--controls', 'mother.ct', 'father.ct', '--refr', 'refr.sct',
+         '--case-min', 5, '--mu', args.coverage,
+         '--sigma', args.coverage * 0.3,
+         '--out', 'scored.vcf', 'calls.vcf']), 1)
+    for stage in ('novel', 'filter', 'partition', 'alac', 'refr_count',
+                  'simlike'):
+        print('#', stage, wall[stage], 's', file=sys.stderr)
+
+    truth = truth_rows('truth.vcf')
+    ev = evaluate(truth, 'scored.vcf')
+    total_wall = round(sum(wall.values()), 1)
+    import jax
+    result = {
+        'suite': 'bigsim-scale accuracy (chr17-class simulated trio)',
+        'backend': jax.default_backend(), 'genome_size': args.genome_size,
+        'coverage': args.coverage, 'error_rate': args.error,
+        'reads_per_sample': nreads, 'denovo_simulated': args.denovo,
+        'denovo_in_truth': len(truth), 'sketch_memory': mem,
+        'wall_s': wall, 'total_wall_s': total_wall,
+        'evaluation': ev,
+        'reference_30x_operating_point': reference_operating_point(),
+        'note': ('reference bigsim inputs (hg38 chr17 + reads) are not '
+                 'distributable; this is the same-scale analog with the '
+                 'same evaluation protocol (tolerance-10 interval match, '
+                 'LIKESCORE ranking, per-type/size classes)'),
+    }
+    with open(args.out, 'w') as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps({'metric': 'bigsim_recall', 'value': ev['recall'],
+                      'unit': 'fraction', 'fdr': ev['fdr'],
+                      'total_wall_s': total_wall}))
+    print('# wrote', args.out, file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()
