@@ -138,7 +138,7 @@ _STAGE_MODULES = (
     'augment', 'localize', 'reference', 'call', 'varmap', 'cigar', 'alac',
     'varfilter', 'simlike', 'dist', 'gentrio', 'mutate', 'evaluate', 'vcf',
     'readgraph', 'readpair', 'intervalforest', 'support', 'cli',
-    'ops', 'parallel', 'workflow', 'workflows', 'native',
+    'ops', 'parallel', 'workflow', 'workflows', 'native', 'warm',
 )
 
 

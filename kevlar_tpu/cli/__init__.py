@@ -303,7 +303,28 @@ def _unband_subparser(subparsers):
                     help='input files in augmented format')
 
 
+def _warm_subparser(subparsers):
+    sp = subparsers.add_parser(
+        'warm', description='Pre-compile the pipeline device programs '
+        'into the persistent compile cache (pass the -k/-M/read-length '
+        'you will use for real data; later stage starts are then '
+        'compile-free).')
+    sp.add_argument('-k', '--ksize', type=int, default=31, metavar='K')
+    sp.add_argument('-M', '--memory', default=8e6, type=memory_setting,
+                    metavar='MEM', help='per-sample sketch memory to warm')
+    sp.add_argument('--readlen', type=int, default=150, metavar='L')
+    sp.add_argument('--controls', type=int, default=2, metavar='N')
+    sp.add_argument('--mask-memory', default=None, type=memory_setting,
+                    metavar='MEM', help='also warm masked counting')
+    sp.add_argument('--refr-memory', default=None, type=memory_setting,
+                    metavar='MEM', help='also warm 4-bit genome counting')
+    sp.add_argument('--align-buckets', default=None, metavar='TxQ[xB],...',
+                    help='also warm aligner shape buckets, e.g. '
+                    '"256x256,512x512"')
+
+
 SUBPARSER_FUNCS = {
+    'warm': _warm_subparser,
     'count': _count_subparser,
     'novel': _novel_subparser,
     'filter': _filter_subparser,
@@ -326,6 +347,7 @@ SUBPARSER_FUNCS = {
 def mains():
     import kevlar_tpu as kt
     return {
+        'warm': kt.warm.main,
         'count': kt.count.main,
         'novel': kt.novel.main,
         'filter': kt.filter.main,

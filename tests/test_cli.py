@@ -11,9 +11,10 @@ from kevlar_tpu.cli import parser, parse_args, mains, memory_setting
 
 from . import simdata
 
+# the reference's 16 subcommands plus kevlar-tpu's own `warm`
 SUBCOMMANDS = ['count', 'novel', 'filter', 'augment', 'assemble', 'mutate',
                'gentrio', 'partition', 'localize', 'call', 'alac',
-               'varfilter', 'simlike', 'split', 'dist', 'unband']
+               'varfilter', 'simlike', 'split', 'dist', 'unband', 'warm']
 
 
 @pytest.mark.parametrize('subcommand', SUBCOMMANDS)

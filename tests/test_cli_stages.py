@@ -202,3 +202,17 @@ def test_empty_novel_output_pipeline(tmp_path):
     part = str(tmp_path / 'part.augfastq')
     mains()['partition'](parse_args(['partition', '-o', part, out]))
     assert open(part).read() == ''
+
+
+def test_warm_precompiles_pipeline_programs(capsys):
+    """`kevlar warm` drives the real stage code over synthetic
+    production-shaped inputs so the persistent compile cache gets every
+    pipeline program ahead of data."""
+    import kevlar_tpu
+    import kevlar_tpu.cli as cli
+    args = cli.parser().parse_args(
+        ['warm', '-k', '21', '-M', '100K', '--readlen', '80',
+         '--controls', '1'])
+    kevlar_tpu.warm.main(args)
+    err = capsys.readouterr().err
+    assert 'cache warmed' in err
