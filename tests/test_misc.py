@@ -188,3 +188,77 @@ def test_batch_reads_env_knob_rejects_bad_values():
             env=env, capture_output=True, text=True)
         assert out.returncode != 0
         assert 'KEVLAR_BATCH_READS' in out.stderr, out.stderr
+
+
+class TestMutsim:
+    """mutsim parity: the batched histogram program vs a literal
+    per-position replica of the reference's snv.cpp/del.cpp loops."""
+
+    @staticmethod
+    def _trio(k=7, n=400):
+        import random
+        import numpy as np
+        from kevlar_tpu.sketch import Sketch
+        rng = random.Random(77)
+        genome = ''.join(rng.choice('ACGT') for _ in range(n))
+        ct = Sketch(k, 10007, 4, counter_bits=8, backend='host')
+        ct.consume(genome)
+        return genome, ct
+
+    @staticmethod
+    def _scalar_hists(genome, ct, k, muttype, delsize=3, histmax=16):
+        import numpy as np
+        abund = np.zeros(histmax + 1, np.int64)
+        unique = np.zeros(k + 1, np.int64)
+        N = len(genome)
+        hi = (N - k + 1) if muttype == 'snv' else (N - k - delsize + 1)
+        for i in range(k - 1, hi):
+            if muttype == 'snv':
+                window = genome[i - k + 1:i + k]
+                for bp in 'ACGT':
+                    if bp == window[k - 1]:
+                        continue
+                    mutseq = window[:k - 1] + bp + window[k:]
+                    counts = ct.get_kmer_counts(mutseq)
+                    uniq = 0
+                    for c in counts:
+                        abund[min(c, histmax)] += 1
+                        uniq += (c == 0)
+                    unique[uniq] += 1
+            else:
+                delseq = genome[i - k + 1:i] + \
+                    genome[i + delsize:i + delsize + k]
+                counts = ct.get_kmer_counts(delseq)
+                uniq = 0
+                for c in counts:
+                    abund[min(c, histmax)] += 1
+                    uniq += (c == 0)
+                unique[uniq] += 1
+        return abund, unique
+
+    def test_snv_matches_scalar_replica(self):
+        from kevlar_tpu.mutsim import mutsim
+        genome, ct = self._trio()
+        a, u = mutsim([genome], ct, muttype='snv', batch=64)
+        ea, eu = self._scalar_hists(genome, ct, 7, 'snv')
+        assert (a == ea).all() and (u == eu).all()
+
+    def test_del_matches_scalar_replica(self):
+        from kevlar_tpu.mutsim import mutsim
+        genome, ct = self._trio()
+        a, u = mutsim([genome], ct, muttype='del', delsize=3, batch=64)
+        ea, eu = self._scalar_hists(genome, ct, 7, 'del', delsize=3)
+        assert (a == ea).all() and (u == eu).all()
+
+    def test_device_sketch_matches_host(self):
+        from kevlar_tpu.batch import batches_from_records
+        from kevlar_tpu.mutsim import mutsim
+        from kevlar_tpu.sequence import Record
+        from kevlar_tpu.sketch import Sketch
+        genome, host_ct = self._trio()
+        dev_ct = Sketch(7, 10007, 4, counter_bits=8)
+        dev_ct.consume(genome)
+        dev_ct._host_tables = None   # force the query_batch path
+        a1, u1 = mutsim([genome], host_ct, muttype='snv', batch=64)
+        a2, u2 = mutsim([genome], dev_ct, muttype='snv', batch=64)
+        assert (a1 == a2).all() and (u1 == u2).all()
