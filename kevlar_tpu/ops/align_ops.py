@@ -163,6 +163,10 @@ def _bucket(n, floor=64):
     return b
 
 
+# HBM budget for one dispatch's [B, T+Q-1, T] direction tensor
+_ZDIAG_BUDGET_BYTES = 512e6
+
+
 def align_batch(target_seqs, query_seqs, match=1, mismatch=2, gapopen=5,
                 gapextend=0, mesh=None, group_buckets=False):
     """Align many (target, query) string pairs on device; returns
@@ -213,6 +217,21 @@ def align_batch(target_seqs, query_seqs, match=1, mismatch=2, gapopen=5,
 
     T = _bucket(max((len(t) for t in target_seqs), default=1))
     Q = _bucket(max((len(q) for q in query_seqs), default=1))
+    # the direction tensor is [B, T+Q-1, T] uint8 in HBM: cap each dispatch
+    # so a whole-run global batch (thousands of pairs) can't blow past the
+    # device memory budget; full chunks share one compiled shape
+    zbytes = (T + Q - 1) * T
+    bmax = 8
+    while bmax * 2 * zbytes <= _ZDIAG_BUDGET_BYTES:
+        bmax *= 2
+    if B > bmax:
+        results = []
+        for lo in range(0, B, bmax):
+            results += align_batch(
+                target_seqs[lo:lo + bmax], query_seqs[lo:lo + bmax],
+                match=match, mismatch=mismatch, gapopen=gapopen,
+                gapextend=gapextend, mesh=mesh)
+        return results
     Bpad = _bucket(B, floor=8)
     if mesh is not None:
         ndev = int(np.prod(list(mesh.shape.values())))

@@ -114,3 +114,28 @@ def test_align_partitions_matches_per_partition_call():
     for pid, jobs in jobs_by_part.items():
         expect = align_both_strands_batch(jobs)
         assert got[pid] == expect, pid
+
+
+def test_big_batches_chunk_within_memory_budget(monkeypatch):
+    """A whole-run global batch must split into budget-capped dispatches
+    (the [B, T+Q-1, T] direction tensor would otherwise exceed HBM) with
+    results identical to the unchunked program."""
+    import random
+    from kevlar_tpu.ops import align_ops
+
+    rng = random.Random(21)
+    pairs = []
+    for _ in range(40):
+        t = ''.join(rng.choice('ACGT') for _ in range(120))
+        q = list(t[10:110])
+        q[50] = 'A' if q[50] != 'A' else 'C'
+        pairs.append((t, ''.join(q)))
+    ts = [t for t, _ in pairs]
+    qs = [q for _, q in pairs]
+
+    full = align_ops.align_batch(ts, qs)
+    # budget that forces bmax=8 -> five chunks
+    monkeypatch.setattr(align_ops, '_ZDIAG_BUDGET_BYTES',
+                        16 * (128 + 128 - 1) * 128)
+    chunked = align_ops.align_batch(ts, qs)
+    assert chunked == full
