@@ -236,8 +236,12 @@ def main():
     wall['alac'] = round(timed_stage(
         ['alac', '-k', 31, '--out', 'calls.vcf', '--delta', 50,
          '--seed-size', 51, 'partitioned.augfastq', 'genome.fa']), 1)
+    # the 4-bit reference table needs genome-k-mer capacity only (a
+    # read-error-sized table would double its bucket count and blow the
+    # device memory budget at this scale)
+    refr_mem = str(int(args.genome_size * 3))
     wall['refr_count'] = round(timed_stage(
-        ['count', '-k', 31, '-c', 4, '-M', mem, '--max-fpr', 0.5,
+        ['count', '-k', 31, '-c', 4, '-M', refr_mem, '--max-fpr', 0.5,
          'refr.sct', 'genome.fa']), 1)
     wall['simlike'] = round(timed_stage(
         ['simlike', '--case', 'proband.ct',
