@@ -80,6 +80,45 @@ def test_evaluate_matching_collisions_and_classes(tmp_path):
     assert per['INDELs 101-200bp'] == dict(total=1, tp=0, fp=0, recall=0.0)
 
 
+def test_reference_protocol_compaction_and_points(tmp_path):
+    bigsim = _load_bigsim()
+    truth = [(100, 'SNV', 0), (300, 'INDEL', 30)]
+    calls = [
+        # class 7: first call misses, second matches -> keep the match
+        (500, 90.0, '7', 1), (305, 80.0, '7', 31),
+        # class 8: no call matches -> keep first in order; it's an FP
+        (900, 70.0, '8', 1), (950, 60.0, '8', 1),
+        # classless call matching the SNV point within delta
+        (95, 50.0, None, 1),
+        # LIKESCORE <= 0 compacted away
+        (100, 0.0, None, 1),
+    ]
+    ev = bigsim.evaluate_reference_protocol(truth, calls)
+    assert ev['calls_compacted'] == 3
+    assert ev['tp'] == 2 and ev['fp'] == 1 and ev['missing'] == 0
+    assert ev['calls_correct'] == 2
+    assert ev['per_class']['INDELs 11-100bp']['tp'] == 1
+
+
+def test_reference_truth_tsv_and_published_calls():
+    """Score the reference's own checked-in 30x calls against its own truth
+    set: the head-to-head anchor recorded in ACCURACY_BIGSIM.json. The
+    per-class TP counts must bracket the reference's ROC maxima (the ROC
+    applies further thresholding, so scorer TP >= ROC max is expected but
+    only by a small margin)."""
+    import pytest
+    bigsim = _load_bigsim()
+    anchor = bigsim.score_reference_calls()
+    if anchor is None:
+        pytest.skip('reference bigsim artifacts not mounted')
+    assert anchor['total_truth'] == 1646
+    op = bigsim.reference_operating_point()
+    for cls, stats in anchor['per_class'].items():
+        assert op[cls]['max_tp'] <= stats['tp'] <= op[cls]['max_tp'] + 8, cls
+    assert 0.90 <= anchor['recall'] <= 0.93
+    assert anchor['fdr'] < 0.05
+
+
 def test_evaluate_tolerance_boundary(tmp_path):
     bigsim = _load_bigsim()
     truth = [(1000, 'SNV', 0)]

@@ -170,6 +170,135 @@ def reference_operating_point():
             for cls, arr in roc.items()}
 
 
+def load_truth_tsv(path):
+    """Reference bigsim truth set (SimulatedVariants_chr17_hg38.tsv.gz) as
+    [(pos, type, size)].  Three columns for indels (pos, Ins/Del, size) —
+    deletions are listed by their TERMINAL nucleotide and corrected to the
+    first (evalutils.populate_index_from_simulation) — and four for SNVs
+    (pos, alt, ref, 'SNV')."""
+    import gzip
+    op = gzip.open if path.endswith('.gz') else open
+    rows = []
+    with op(path, 'rt') as fh:
+        for line in fh:
+            v = line.split()
+            if not v:
+                continue
+            pos = int(v[0])
+            if v[1] == 'Del':
+                rows.append((pos - int(v[2]), 'INDEL', int(v[2])))
+            elif v[1] == 'Ins':
+                rows.append((pos, 'INDEL', int(v[2])))
+            else:
+                rows.append((pos, 'SNV', 0))
+    return rows
+
+
+def read_pass_calls(vcfpath):
+    """PASS rows of a kevlar-vocabulary VCF as
+    [(pos0, likescore, callclass, span)], in file order."""
+    import gzip
+    op = gzip.open if vcfpath.endswith('.gz') else open
+    calls = []
+    with op(vcfpath, 'rt') as fh:
+        for line in fh:
+            if line.startswith('#'):
+                continue
+            f = line.rstrip('\n').split('\t')
+            if f[6] != 'PASS' or f[1] == '.':
+                continue
+            info = dict(kv.split('=', 1) for kv in f[7].split(';')
+                        if '=' in kv)
+            calls.append((int(f[1]) - 1,
+                          float(info.get('LIKESCORE', '-inf')),
+                          info.get('CALLCLASS'),
+                          max(len(f[3]), len(f[4]))))
+    return calls
+
+
+def evaluate_reference_protocol(truth, calls, delta=10):
+    """The reference's exact scoring protocol, mirrored from
+    notebook/bigsim/evalutils.py so OUR calls and the reference's own
+    published calls can be scored by ONE scorer:
+
+    - truth variants are POINT intervals at their (Del-corrected) position
+      (populate_index_from_simulation);
+    - PASS calls are compacted by CALLCLASS: within a partition, keep the
+      first truth-matching call, else the first call in file order
+      (compact(), which assumes LIKESCORE-descending order); calls with
+      LIKESCORE <= 0 are dropped;
+    - a call is correct when a truth point overlaps [pos-delta, pos+delta)
+      (IntervalForest.query on point intervals);
+    - truth hit by no call is missing (assess_variants_vcf).
+    """
+    def hits(pos):
+        return [i for i, (p, _, _) in enumerate(truth)
+                if pos - delta <= p < pos + delta]
+
+    # compact by CALLCLASS
+    by_class, compacted = {}, []
+    for call in calls:
+        if call[2] is None:
+            compacted.append(call)
+        else:
+            by_class.setdefault(call[2], []).append(call)
+    for calllist in by_class.values():
+        match = next((c for c in calllist if hits(c[0])), None)
+        compacted.append(match if match is not None else calllist[0])
+    compacted.sort(key=lambda c: -c[1])
+    compacted = [c for c in compacted if c[1] > 0.0]
+
+    per_class = {name: dict(total=0, tp=0) for name, *_ in SIZE_CLASSES}
+    for pos, vartype, size in truth:
+        cls = classify(vartype, size)
+        if cls:
+            per_class[cls]['total'] += 1
+    found = set()
+    correct = false = collisions = 0
+    for pos, like, callclass, span in compacted:
+        h = hits(pos)
+        if not h:
+            false += 1
+            continue
+        correct += 1
+        if all(i in found for i in h):
+            collisions += 1
+        for i in h:
+            if i not in found:
+                found.add(i)
+                cls = classify(truth[i][1], truth[i][2])
+                if cls:
+                    per_class[cls]['tp'] += 1
+    tp = len(found)
+    return dict(
+        per_class={k: dict(v, recall=round(v['tp'] / v['total'], 4)
+                           if v['total'] else None)
+                   for k, v in per_class.items()},
+        calls_pass=len(calls), calls_compacted=len(compacted),
+        calls_correct=correct, fp=false, collisions=collisions,
+        tp=tp, missing=len(truth) - tp, total_truth=len(truth),
+        recall=round(tp / len(truth), 4) if truth else None,
+        fdr=round(false / max(1, correct + false), 4))
+
+
+REF_BIGSIM = '/root/reference/notebook/bigsim'
+
+
+def score_reference_calls(delta=10, k='31'):
+    """Score the reference's own published 30x calls against its own truth
+    set with the protocol above — the head-to-head anchor for our run."""
+    truth_path = os.path.join(REF_BIGSIM, 'SimulatedVariants_chr17_hg38.tsv.gz')
+    calls_path = os.path.join(REF_BIGSIM,
+                              '30x_k{}_kevlar_calls_like.vcf.gz'.format(k))
+    if not (os.path.exists(truth_path) and os.path.exists(calls_path)):
+        return None
+    truth = load_truth_tsv(truth_path)
+    calls = read_pass_calls(calls_path)
+    out = evaluate_reference_protocol(truth, calls, delta=delta)
+    out['source'] = calls_path
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--genome-size', type=int, default=80_000_000)
@@ -184,7 +313,33 @@ def main():
     ap.add_argument('--workdir', default=None)
     ap.add_argument('--out', default=os.path.join(REPO,
                                                   'ACCURACY_BIGSIM.json'))
+    ap.add_argument('--rescore', metavar='WORKDIR', default=None,
+                    help='skip simulation/pipeline; re-evaluate an existing '
+                         'workdir (truth.vcf + scored.vcf) and update --out '
+                         'in place, preserving its recorded walls')
     args = ap.parse_args()
+
+    if args.rescore:
+        truth = truth_rows(os.path.join(args.rescore, 'truth.vcf'))
+        scored = os.path.join(args.rescore, 'scored.vcf')
+        ev = evaluate(truth, scored)
+        ev_refproto = evaluate_reference_protocol(
+            truth, read_pass_calls(scored))
+        result = {}
+        if os.path.exists(args.out):
+            with open(args.out) as fh:
+                result = json.load(fh)
+        result['evaluation'] = ev
+        result['evaluation_reference_protocol'] = ev_refproto
+        result['reference_30x_scored'] = score_reference_calls()
+        with open(args.out, 'w') as fh:
+            json.dump(result, fh, indent=1)
+        print(json.dumps({'metric': 'bigsim_recall', 'value': ev['recall'],
+                          'unit': 'fraction', 'fdr': ev['fdr'],
+                          'recall_reference_protocol':
+                              ev_refproto['recall']}))
+        print('# wrote', args.out, file=sys.stderr)
+        return
 
     import tempfile
     workdir = args.workdir or tempfile.mkdtemp(prefix='kevlar_bigsim_')
@@ -265,6 +420,9 @@ def main():
         'denovo_in_truth': len(truth), 'sketch_memory': mem,
         'wall_s': wall, 'total_wall_s': total_wall,
         'evaluation': ev,
+        'evaluation_reference_protocol': evaluate_reference_protocol(
+            truth, read_pass_calls('scored.vcf')),
+        'reference_30x_scored': score_reference_calls(),
         'reference_30x_operating_point': reference_operating_point(),
         'note': ('reference bigsim inputs (hg38 chr17 + reads) are not '
                  'distributable; this is the same-scale analog with the '
