@@ -32,6 +32,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# At this scale each counting stage is ~4k dispatches at the 4096-read
+# default; on high-RTT links the per-dispatch round-trip dominates the
+# wall, so quadruple the batch (one extra one-time compile per shape).
+# Must land before kevlar_tpu is imported (read at import time).
+os.environ.setdefault('KEVLAR_BATCH_READS', '16384')
+
 
 def timed_stage(arglist):
     import kevlar_tpu.cli as cli

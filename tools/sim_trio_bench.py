@@ -34,6 +34,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Quick-start scale and above is thousands of dispatches per counting
+# stage at the 4096-read default; on high-RTT links the per-dispatch
+# round-trip dominates, so quadruple the batch (one extra one-time
+# compile per shape). Must land before kevlar_tpu is imported.
+os.environ.setdefault('KEVLAR_BATCH_READS', '16384')
+
 _ACGT = np.frombuffer(b'ACGT', dtype=np.uint8)
 _CODE = np.zeros(256, dtype=np.uint8)
 for _i, _b in enumerate(b'ACGT'):
