@@ -149,22 +149,66 @@ def _use_accumulator():
     return jax.default_backend() == 'cpu'
 
 
+def _planar_index(idx, counter_bits, nbytes):
+    """Bucket index -> position in the PLANAR unpacked row.
+
+    Sub-byte temporaries are kept plane-major — all the low nibbles/bits
+    of the row, then all the high ones: planar position
+    ``(idx % cpb) * nbytes + idx // cpb``.  A bucket-ordered unpack would
+    materialise a [nbytes, cpb] intermediate whose minor dimension the
+    TPU tiled layout pads to 128 (a 64x/16x memory blowup — 30.7 GB for
+    a 120M-bucket 4-bit table); the planar form is flat 1-D, layout-safe,
+    and the index remap is a bijection so counts are identical.
+    """
+    if counter_bits == 8:
+        return idx
+    if counter_bits == 4:
+        return (idx & 1) * nbytes + (idx >> 1)
+    return (idx & 7) * nbytes + (idx >> 3)
+
+
+def _unpack_row_planar(row, counter_bits):
+    """Packed uint8 [nbytes] row -> flat PLANAR uint8 [cpb*nbytes] row."""
+    if counter_bits == 8:
+        return row
+    if counter_bits == 4:
+        return jnp.concatenate([row & jnp.uint8(0xF), row >> jnp.uint8(4)])
+    return jnp.concatenate([(row >> jnp.uint8(s)) & jnp.uint8(1)
+                            for s in range(8)])
+
+
+def _pack_row_planar(planar, counter_bits):
+    """Flat PLANAR uint8 [cpb*nbytes] row -> packed uint8 [nbytes] row."""
+    if counter_bits == 8:
+        return planar
+    cpb = COUNTERS_PER_BYTE[counter_bits]
+    nbytes = planar.shape[0] // cpb
+    planes = [planar[p * nbytes:(p + 1) * nbytes].astype(jnp.uint32)
+              for p in range(cpb)]
+    acc = planes[0]
+    for p in range(1, cpb):
+        acc = acc | (planes[p] << jnp.uint32(p * counter_bits))
+    return acc.astype(jnp.uint8)
+
+
 def _unpack_tables_i32(tables, counter_bits, tablesize):
-    """Packed uint8 tables -> int32 [ntables, tablesize] accumulator."""
-    rows = [unpack_counter_row(tables[t], counter_bits, tablesize)
+    """Packed uint8 tables -> int32 [ntables, cpb*nbytes] PLANAR accumulator
+    (bucket order for 8-bit; see :func:`_planar_index` for sub-byte)."""
+    rows = [_unpack_row_planar(tables[t], counter_bits)
             for t in range(tables.shape[0])]
     return jnp.stack(rows).astype(jnp.int32)
 
 
 def _pack_tables_i32(acc, maxcount, counter_bits):
-    """Saturate an int32 accumulator and repack to the persistent layout."""
+    """Saturate a PLANAR int32 accumulator and repack to the persistent
+    layout."""
     sat = jnp.minimum(acc, maxcount).astype(jnp.uint8)
-    return jnp.stack([pack_counter_row(sat[t], counter_bits)
+    return jnp.stack([_pack_row_planar(sat[t], counter_bits)
                       for t in range(sat.shape[0])])
 
 
-def _scatter_hashes_i32(acc, h1, h2, valid, tablesize):
-    """Scatter-add valid hashes into the int32 accumulator, in place.
+def _scatter_hashes_i32(acc, h1, h2, valid, tablesize, counter_bits=8):
+    """Scatter-add valid hashes into the PLANAR int32 accumulator, in place.
 
     Inside a lax.scan the carried buffer is updated without materialising
     an O(tablesize) temporary per batch — the saturating min happens once
@@ -175,8 +219,10 @@ def _scatter_hashes_i32(acc, h1, h2, valid, tablesize):
     h2f = h2.ravel()
     vf = valid.ravel().astype(jnp.int32)
     ntables = acc.shape[0]
+    nbytes = packed_width(tablesize, counter_bits)
     for t in range(ntables):
         idx = hashing.table_index(h1f, h2f, t, tablesize).astype(jnp.int32)
+        idx = _planar_index(idx, counter_bits, nbytes)
         acc = acc.at[t, idx].add(vf, mode='drop')
     return acc
 
@@ -186,24 +232,29 @@ def _consume_hashes(tables, h1, h2, valid, maxcount, counter_bits=8,
     """Saturating-add each valid hash into every table; returns new tables.
 
     For sub-byte counters the persistent row stays bit-packed (khmer memory
-    parity); it is unpacked, updated, and repacked per batch — all
-    elementwise VPU work, small next to the scatter itself.
+    parity); it is unpacked PLANAR, updated, and repacked per batch — all
+    elementwise VPU work plus the planar index remap, small next to the
+    scatter itself, and free of the [nbytes, cpb] tiled-layout blowup
+    (see :func:`_planar_index`).
     """
     ntables = tables.shape[0]
     if counter_bits == 8:
         tablesize = tables.shape[1]
+    nbytes = packed_width(tablesize, counter_bits)
+    planar_size = COUNTERS_PER_BYTE[counter_bits] * nbytes
     h1f = h1.ravel()
     h2f = h2.ravel()
     vf = valid.ravel().astype(jnp.int32)
     new_rows = []
     for t in range(ntables):
         idx = hashing.table_index(h1f, h2f, t, tablesize).astype(jnp.int32)
-        inc = jnp.zeros((tablesize,), dtype=jnp.int32).at[idx].add(
+        idx = _planar_index(idx, counter_bits, nbytes)
+        inc = jnp.zeros((planar_size,), dtype=jnp.int32).at[idx].add(
             vf, mode='drop')
-        row = unpack_counter_row(tables[t], counter_bits, tablesize)
+        row = _unpack_row_planar(tables[t], counter_bits)
         row = jnp.minimum(row.astype(jnp.int32) + inc,
                           maxcount).astype(jnp.uint8)
-        new_rows.append(pack_counter_row(row, counter_bits))
+        new_rows.append(_pack_row_planar(row, counter_bits))
     return jnp.stack(new_rows)
 
 
@@ -271,7 +322,8 @@ def consume_batch_stack(tables, bases_stack, ksize, maxcount, numbands=None,
                                        mask_threshold, consume_masked,
                                        mask_bits, mask_tablesize)
         if accumulate:
-            return _scatter_hashes_i32(carry, h1, h2, valid, tablesize), None
+            return _scatter_hashes_i32(carry, h1, h2, valid, tablesize,
+                                       counter_bits), None
         return _consume_hashes(carry, h1, h2, valid, maxcount,
                                counter_bits, tablesize), None
 
@@ -314,7 +366,8 @@ def consume_batch_stack_packed(tables, packed_stack, badmask_stack, L, ksize,
                                        mask_threshold, consume_masked,
                                        mask_bits, mask_tablesize)
         if accumulate:
-            return _scatter_hashes_i32(carry, h1, h2, valid, tablesize), None
+            return _scatter_hashes_i32(carry, h1, h2, valid, tablesize,
+                                       counter_bits), None
         return _consume_hashes(carry, h1, h2, valid, maxcount,
                                counter_bits, tablesize), None
 

@@ -48,16 +48,21 @@ def _local_consume(tables_local, h1, h2, valid, shard_size, total, ntables,
             jnp.int32)
         lidx = gidx - lo
         ok = vf & (lidx >= 0) & (lidx < shard_size)
-        # out-of-range -> index shard_size, dropped by scatter mode='drop'
-        lidx_safe = jnp.where(ok, lidx, shard_size)
-        inc = jnp.zeros((shard_size,), jnp.int32).at[lidx_safe].add(
+        # PLANAR unpacked layout for sub-byte counters (identity for
+        # 8-bit): flat 1-D, free of the [nbytes, cpb] tiled-layout
+        # memory blowup (sketch_ops._planar_index)
+        nbytes = sketch_ops.packed_width(shard_size, counter_bits)
+        planar_size = sketch_ops.COUNTERS_PER_BYTE[counter_bits] * nbytes
+        pidx = sketch_ops._planar_index(lidx, counter_bits, nbytes)
+        # out-of-range -> index planar_size, dropped by scatter mode='drop'
+        pidx_safe = jnp.where(ok, pidx, planar_size)
+        inc = jnp.zeros((planar_size,), jnp.int32).at[pidx_safe].add(
             ok.astype(jnp.int32), mode='drop')
         inc = lax.psum(inc, 'data')
-        row = sketch_ops.unpack_counter_row(tables_local[t], counter_bits,
-                                            shard_size)
+        row = sketch_ops._unpack_row_planar(tables_local[t], counter_bits)
         row = jnp.minimum(row.astype(jnp.int32) + inc,
                           maxcount).astype(jnp.uint8)
-        rows.append(sketch_ops.pack_counter_row(row, counter_bits))
+        rows.append(sketch_ops._pack_row_planar(row, counter_bits))
     return jnp.stack(rows)
 
 
@@ -258,10 +263,15 @@ class ShardedSketch:
                            in_specs=(P(None, 'shard'),), out_specs=P())
         def occupied(tables_local):
             from kevlar_tpu.ops import sketch_ops
-            row = sketch_ops.unpack_counter_row(tables_local[0], bits,
-                                                shard_size)
+            # PLANAR unpack (layout-safe for sub-byte); recover each
+            # planar position's bucket index for the in-range mask
+            row = sketch_ops._unpack_row_planar(tables_local[0], bits)
+            cpb = sketch_ops.COUNTERS_PER_BYTE[bits]
+            nbytes = sketch_ops.packed_width(shard_size, bits)
+            byte = jnp.arange(nbytes, dtype=jnp.int32)
+            bucket = jnp.concatenate([byte * cpb + p for p in range(cpb)])
             lo = lax.axis_index('shard').astype(jnp.int32) * shard_size
-            inrange = lo + jnp.arange(shard_size, dtype=jnp.int32) < total
+            inrange = (bucket < shard_size) & (lo + bucket < total)
             n = jnp.sum(((row > 0) & inrange).astype(jnp.int32))
             return lax.psum(n, 'shard')
 

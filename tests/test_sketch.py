@@ -203,3 +203,39 @@ def test_packed_counter_storage_matches_host():
         assert np.array_equal(dev._host(), host.tables)
         for s in seqs[:4]:
             assert dev.get_kmer_counts(s) == host.get_kmer_counts(s)
+
+
+def test_consume_hashes_planar_subbyte_exact():
+    """The per-batch fused consume (_consume_hashes, the accelerator-side
+    branch of consume_batch_stack*) keeps sub-byte rows in the PLANAR
+    layout to avoid the [nbytes, cpb] tiled-layout blowup that OOMed a
+    120M-bucket 4-bit table on TPU; the planar index remap must be a
+    bijection, preserve saturation, and leave the pad nibble/bits of an
+    odd tablesize untouched."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kevlar_tpu.ops import sketch_ops, hashing
+
+    rng = np.random.default_rng(5)
+    n = 512
+    h1 = jnp.asarray(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    h2 = jnp.asarray(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    valid = jnp.asarray(rng.random(n) < 0.9)
+    for bits, maxc, tablesize in ((4, 15, 101), (1, 1, 101), (8, 255, 101)):
+        ntables = 3
+        width = sketch_ops.packed_width(tablesize, bits)
+        tables = jnp.zeros((ntables, width), jnp.uint8)
+        new = sketch_ops._consume_hashes(tables, h1, h2, valid, maxc,
+                                         bits, tablesize)
+        # duplicate hashes saturate, so consume twice through the kernel too
+        new2 = sketch_ops._consume_hashes(new, h1, h2, valid, maxc,
+                                          bits, tablesize)
+        vmask = np.asarray(valid)
+        for t in range(ntables):
+            idx = np.asarray(hashing.table_index(h1, h2, t, tablesize))
+            exp = np.zeros(tablesize, np.int64)
+            np.add.at(exp, idx[vmask], 1)
+            for rounds, got_tables in ((1, new), (2, new2)):
+                got = np.asarray(sketch_ops.unpack_counter_row(
+                    got_tables[t], bits, tablesize))
+                assert np.array_equal(got, np.minimum(rounds * exp, maxc))
