@@ -149,16 +149,21 @@ def _use_accumulator():
     return jax.default_backend() == 'cpu'
 
 
-def _planar_index(idx, counter_bits, nbytes):
+def planar_index(idx, counter_bits, nbytes):
     """Bucket index -> position in the PLANAR unpacked row.
 
-    Sub-byte temporaries are kept plane-major — all the low nibbles/bits
-    of the row, then all the high ones: planar position
-    ``(idx % cpb) * nbytes + idx // cpb``.  A bucket-ordered unpack would
+    LAYOUT CONTRACT (shared with :mod:`kevlar_tpu.parallel.sharded`, which
+    routes increments into the same planar temporaries): sub-byte unpacked
+    temporaries are kept plane-major — all the low nibbles/bits of the row,
+    then all the high ones: planar position
+    ``(idx % cpb) * nbytes + idx // cpb``, where ``nbytes`` is the packed
+    row width (:func:`packed_width`).  A bucket-ordered unpack would
     materialise a [nbytes, cpb] intermediate whose minor dimension the
     TPU tiled layout pads to 128 (a 64x/16x memory blowup — 30.7 GB for
     a 120M-bucket 4-bit table); the planar form is flat 1-D, layout-safe,
-    and the index remap is a bijection so counts are identical.
+    and the index remap is a bijection so counts are identical.  Any
+    change here must change :func:`unpack_row_planar` /
+    :func:`pack_row_planar` in lockstep.
     """
     if counter_bits == 8:
         return idx
@@ -167,8 +172,9 @@ def _planar_index(idx, counter_bits, nbytes):
     return (idx & 7) * nbytes + (idx >> 3)
 
 
-def _unpack_row_planar(row, counter_bits):
-    """Packed uint8 [nbytes] row -> flat PLANAR uint8 [cpb*nbytes] row."""
+def unpack_row_planar(row, counter_bits):
+    """Packed uint8 [nbytes] row -> flat PLANAR uint8 [cpb*nbytes] row
+    (plane-major order, the :func:`planar_index` layout contract)."""
     if counter_bits == 8:
         return row
     if counter_bits == 4:
@@ -177,8 +183,9 @@ def _unpack_row_planar(row, counter_bits):
                             for s in range(8)])
 
 
-def _pack_row_planar(planar, counter_bits):
-    """Flat PLANAR uint8 [cpb*nbytes] row -> packed uint8 [nbytes] row."""
+def pack_row_planar(planar, counter_bits):
+    """Flat PLANAR uint8 [cpb*nbytes] row -> packed uint8 [nbytes] row
+    (inverse of :func:`unpack_row_planar`)."""
     if counter_bits == 8:
         return planar
     cpb = COUNTERS_PER_BYTE[counter_bits]
@@ -191,19 +198,32 @@ def _pack_row_planar(planar, counter_bits):
     return acc.astype(jnp.uint8)
 
 
-def _unpack_tables_i32(tables, counter_bits, tablesize):
-    """Packed uint8 tables -> int32 [ntables, cpb*nbytes] PLANAR accumulator
-    (bucket order for 8-bit; see :func:`_planar_index` for sub-byte)."""
-    rows = [_unpack_row_planar(tables[t], counter_bits)
+# the planar layout is a cross-module contract (parallel/sharded.py routes
+# into it); the public names above are canonical, these aliases remain for
+# in-module brevity
+_planar_index = planar_index
+_unpack_row_planar = unpack_row_planar
+_pack_row_planar = pack_row_planar
+
+
+def _unpack_tables_i32(tables, counter_bits):
+    """Packed uint8 tables -> int32 [ntables, cpb*nbytes] PLANAR accumulator.
+
+    NOTE the accumulator length is ``cpb * nbytes`` (plane-major planar
+    positions, :func:`planar_index`), NOT ``tablesize`` — for 8-bit they
+    coincide; for sub-byte counters callers must address it through
+    :func:`planar_index` only.
+    """
+    rows = [unpack_row_planar(tables[t], counter_bits)
             for t in range(tables.shape[0])]
     return jnp.stack(rows).astype(jnp.int32)
 
 
 def _pack_tables_i32(acc, maxcount, counter_bits):
-    """Saturate a PLANAR int32 accumulator and repack to the persistent
-    layout."""
+    """Saturate a PLANAR int32 accumulator (:func:`_unpack_tables_i32`
+    layout) and repack to the persistent layout."""
     sat = jnp.minimum(acc, maxcount).astype(jnp.uint8)
-    return jnp.stack([_pack_row_planar(sat[t], counter_bits)
+    return jnp.stack([pack_row_planar(sat[t], counter_bits)
                       for t in range(sat.shape[0])])
 
 
@@ -328,7 +348,7 @@ def consume_batch_stack(tables, bases_stack, ksize, maxcount, numbands=None,
                                counter_bits, tablesize), None
 
     if accumulate:
-        acc = _unpack_tables_i32(tables, counter_bits, tablesize)
+        acc = _unpack_tables_i32(tables, counter_bits)
         acc, _ = jax.lax.scan(body, acc, bases_stack)
         return _pack_tables_i32(acc, maxcount, counter_bits)
     new_tables, _ = jax.lax.scan(body, tables, bases_stack)
@@ -372,7 +392,7 @@ def consume_batch_stack_packed(tables, packed_stack, badmask_stack, L, ksize,
                                counter_bits, tablesize), None
 
     if accumulate:
-        acc = _unpack_tables_i32(tables, counter_bits, tablesize)
+        acc = _unpack_tables_i32(tables, counter_bits)
         acc, _ = jax.lax.scan(body, acc, (packed_stack, badmask_stack))
         return _pack_tables_i32(acc, maxcount, counter_bits)
     new_tables, _ = jax.lax.scan(body, tables, (packed_stack, badmask_stack))

@@ -10,9 +10,16 @@ Layout
 
 Collectives
 -----------
-- consume: each device scatter-adds the increments that fall in its hash
-  range, then ``psum`` over 'data' merges the contributions of all read
-  shards (the all-reduce analog of DP gradient sync);
+- consume (default, hash-routed): read batches are sharded over BOTH mesh
+  axes, each device hashes only its own slice ONCE, bins each table's
+  bucket indices by owner shard, and a ``lax.all_to_all`` over 'shard'
+  delivers every index to the one shard that owns its hash range; owners
+  scatter-add what they receive and a ``psum`` over 'data' merges the
+  read shards.  Hash + scatter-candidate work is done once per k-mer
+  (the SURVEY §2.3 "all-to-all of queried hashes" banding design).
+- consume (fallback, ``route='replicate'``): reads replicated across
+  'shard'; every device hashes every k-mer and scatter-drops the indices
+  outside its range — N_shard× redundant compute, no index exchange.
 - query: non-owner shards report a sentinel max count and a ``pmin`` over
   'shard' selects the owning shard's count.
 
@@ -50,20 +57,73 @@ def _local_consume(tables_local, h1, h2, valid, shard_size, total, ntables,
         ok = vf & (lidx >= 0) & (lidx < shard_size)
         # PLANAR unpacked layout for sub-byte counters (identity for
         # 8-bit): flat 1-D, free of the [nbytes, cpb] tiled-layout
-        # memory blowup (sketch_ops._planar_index)
+        # memory blowup (sketch_ops.planar_index)
         nbytes = sketch_ops.packed_width(shard_size, counter_bits)
         planar_size = sketch_ops.COUNTERS_PER_BYTE[counter_bits] * nbytes
-        pidx = sketch_ops._planar_index(lidx, counter_bits, nbytes)
+        pidx = sketch_ops.planar_index(lidx, counter_bits, nbytes)
         # out-of-range -> index planar_size, dropped by scatter mode='drop'
         pidx_safe = jnp.where(ok, pidx, planar_size)
         inc = jnp.zeros((planar_size,), jnp.int32).at[pidx_safe].add(
             ok.astype(jnp.int32), mode='drop')
         inc = lax.psum(inc, 'data')
-        row = sketch_ops._unpack_row_planar(tables_local[t], counter_bits)
+        row = sketch_ops.unpack_row_planar(tables_local[t], counter_bits)
         row = jnp.minimum(row.astype(jnp.int32) + inc,
                           maxcount).astype(jnp.uint8)
-        rows.append(sketch_ops._pack_row_planar(row, counter_bits))
+        rows.append(sketch_ops.pack_row_planar(row, counter_bits))
     return jnp.stack(rows)
+
+
+def _route_consume(tables_local, h1, h2, valid, shard_size, total, ntables,
+                   maxcount, capacity, n_shard, counter_bits=8):
+    """Hash-routed consume: bin each table's bucket indices by owner shard,
+    ``all_to_all`` them to their owners, scatter-add locally.
+
+    Each device hashes only its own read slice (bases sharded over both
+    mesh axes), so hash + scatter work is done once per k-mer instead of
+    once per shard.  Per (table, destination) capacity is ``capacity``
+    slots; the returned overflow scalar is the largest bin population seen
+    (callers must verify it is <= capacity — overflowing increments are
+    dropped, so the caller re-runs the batch down the replicate path).
+    """
+    from kevlar_tpu.ops import sketch_ops
+    h1f, h2f, vf = h1.ravel(), h2.ravel(), valid.ravel()
+    nbytes = sketch_ops.packed_width(shard_size, counter_bits)
+    planar_size = sketch_ops.COUNTERS_PER_BYTE[counter_bits] * nbytes
+    C = int(capacity)
+    new_rows = []
+    overflow = jnp.int32(0)
+    for t in range(ntables):
+        gidx = (h1f + jnp.uint32(t) * h2f) % jnp.uint32(total)
+        owner = (gidx // jnp.uint32(shard_size)).astype(jnp.int32)
+        lidx = (gidx % jnp.uint32(shard_size)).astype(jnp.int32)
+        owner = jnp.where(vf, owner, jnp.int32(n_shard))
+        # rank within each destination bin (n_shard static cumsums)
+        pos = jnp.full(owner.shape, n_shard * C, jnp.int32)
+        for d in range(n_shard):
+            m = owner == d
+            mi = m.astype(jnp.int32)
+            jd = jnp.cumsum(mi) - 1
+            overflow = jnp.maximum(overflow, jnp.sum(mi))
+            pos = jnp.where(m & (jd < C), d * C + jd, pos)
+        # send buffer: local bucket index per slot; unfilled slots carry
+        # shard_size (out of range at the receiver)
+        buf = jnp.full((n_shard * C,), shard_size, jnp.int32)
+        buf = buf.at[pos].set(lidx, mode='drop')
+        recv = lax.all_to_all(buf.reshape(n_shard, C), 'shard',
+                              split_axis=0, concat_axis=0, tiled=True)
+        rf = recv.ravel()
+        ok = (rf >= 0) & (rf < shard_size)
+        pidx = sketch_ops.planar_index(rf, counter_bits, nbytes)
+        inc = jnp.zeros((planar_size,), jnp.int32).at[
+            jnp.where(ok, pidx, planar_size)].add(
+                ok.astype(jnp.int32), mode='drop')
+        inc = lax.psum(inc, 'data')
+        row = sketch_ops.unpack_row_planar(tables_local[t], counter_bits)
+        row = jnp.minimum(row.astype(jnp.int32) + inc,
+                          maxcount).astype(jnp.uint8)
+        new_rows.append(sketch_ops.pack_row_planar(row, counter_bits))
+    overflow = lax.pmax(lax.pmax(overflow, 'shard'), 'data')
+    return jnp.stack(new_rows), overflow
 
 
 def _local_gather(tables_local, h1, h2, shard_size, total, ntables,
@@ -265,7 +325,7 @@ class ShardedSketch:
             from kevlar_tpu.ops import sketch_ops
             # PLANAR unpack (layout-safe for sub-byte); recover each
             # planar position's bucket index for the in-range mask
-            row = sketch_ops._unpack_row_planar(tables_local[0], bits)
+            row = sketch_ops.unpack_row_planar(tables_local[0], bits)
             cpb = sketch_ops.COUNTERS_PER_BYTE[bits]
             nbytes = sketch_ops.packed_width(shard_size, bits)
             byte = jnp.arange(nbytes, dtype=jnp.int32)
@@ -342,9 +402,58 @@ class ShardedSketch:
         cache[key] = consume
         return consume
 
+    def _consume_fn_a2a(self, capacity):
+        key = ('a2a', int(capacity))
+        cache = getattr(self, '_fn_cache', None)
+        if cache is None:
+            cache = self._fn_cache = {}
+        if key in cache:
+            return cache[key]
+        mesh = self.mesh
+        ksize = self._ksize
+        shard_size, total = self.shard_size, self.tablesize
+        ntables, maxcount = self.ntables, self.maxcount
+        bits = self.counter_bits
+        n_shard = mesh.shape['shard']
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(None, 'shard'), P(('data', 'shard'), None)),
+            out_specs=(P(None, 'shard'), P()))
+        def consume(tables_local, bases_local):
+            h1, h2, valid = hashing.kmer_hashes(bases_local, ksize)
+            return _route_consume(tables_local, h1, h2, valid, shard_size,
+                                  total, ntables, maxcount, capacity,
+                                  n_shard, bits)
+        cache[key] = consume
+        return consume
+
+    def _a2a_capacity(self, bases_shape):
+        """Per-(table, destination) routing capacity: 2x the expected bin
+        population under uniform hashing, 128 floor, multiple of 8."""
+        n_dev = self.mesh.shape['data'] * self.mesh.shape['shard']
+        B = -(-bases_shape[0] // n_dev) * n_dev
+        windows = max(bases_shape[1] - self._ksize + 1, 1)
+        per_dev = (B // n_dev) * windows
+        exp_bin = -(-per_dev // self.mesh.shape['shard'])
+        cap = max(128, 2 * exp_bin)
+        return -(-cap // 8) * 8
+
     def consume_batch(self, bases, numbands=None, band=None, mask=None,
-                      mask_threshold=0, consume_masked=False):
-        """Count a [B, L] base batch (rows padded to the 'data' axis).
+                      mask_threshold=0, consume_masked=False, route=None,
+                      a2a_capacity=None):
+        """Count a [B, L] base batch.
+
+        ``route`` picks the consume collective: ``'alltoall'`` (default
+        when unmasked) hashes each k-mer once and routes its bucket
+        indices to the owner shard; ``'replicate'`` replicates the reads
+        across 'shard' and drops out-of-range indices (the fallback, and
+        the only masked mode — the mask screen needs every shard to see
+        every k-mer for the ``pmin`` count select).  If a routed batch
+        overflows its per-destination capacity (pathologically repetitive
+        input), the batch is transparently re-run down the replicate path
+        — counts are identical either way.
 
         Banding is intentionally unsupported: hash-space sharding over the
         mesh supersedes it (docs/sharding.md).  A mask must share this
@@ -353,7 +462,7 @@ class ShardedSketch:
         if numbands:
             raise ValueError(
                 'banding is superseded by mesh sharding for ShardedSketch')
-        bases = self._pad_rows(np.asarray(bases))
+        bases = np.asarray(bases)
         if mask is not None:
             assert isinstance(mask, ShardedSketch), \
                 'sharded consume requires a sharded mask on the same mesh'
@@ -362,17 +471,33 @@ class ShardedSketch:
                                   mask_bits=mask.counter_bits,
                                   mask_dims=(mask.shard_size,
                                              mask.tablesize))
-            self.tables = fn(self.tables, mask.tables, bases)
-        else:
-            fn = self._consume_fn(False, 0, False)
-            self.tables = fn(self.tables, bases)
+            self.tables = fn(self.tables, mask.tables,
+                             self._pad_rows(bases))
+            self._invalidate()
+            return
+        if route is None:
+            route = 'alltoall'
+        if route == 'alltoall':
+            cap = int(a2a_capacity or self._a2a_capacity(bases.shape))
+            fn = self._consume_fn_a2a(cap)
+            new_tables, overflow = fn(
+                self.tables, self._pad_rows(bases, both_axes=True))
+            if int(overflow) <= cap:
+                self.tables = new_tables
+                self._invalidate()
+                return
+            del new_tables  # partial adds discarded; fall through
+        fn = self._consume_fn(False, 0, False)
+        self.tables = fn(self.tables, self._pad_rows(bases))
         self._invalidate()
 
-    def _pad_rows(self, bases):
-        n_data = self.mesh.shape['data']
+    def _pad_rows(self, bases, both_axes=False):
+        n = self.mesh.shape['data']
+        if both_axes:
+            n *= self.mesh.shape['shard']
         B = bases.shape[0]
-        if B % n_data:
-            pad = n_data - B % n_data
+        if B % n:
+            pad = n - B % n
             bases = np.concatenate(
                 [bases, np.full((pad, bases.shape[1]), 4, np.uint8)])
         return bases

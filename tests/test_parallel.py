@@ -151,6 +151,52 @@ def test_sharded_packed_counters_match_host():
         h1, h2, v = dna.kmer_hashes(bases, 21)
         expected = np.where(v, single._host_counts(h1, h2), 0)
         assert np.array_equal(counts, expected.astype(np.uint8))
+        # sub-byte bucket recovery in occupied(): device n_occupied must
+        # agree with the host sketch (guards the planar-unpack index math)
+        assert sh.n_occupied() == single.n_occupied()
+
+
+@pytest.mark.parametrize('bits', [1, 4, 8])
+def test_routed_consume_matches_replicate(bits):
+    """The hash-routed (all_to_all) consume and the replicate-and-drop
+    fallback must produce bit-identical tables, and both must match the
+    single-device host engine."""
+    from kevlar_tpu.parallel import make_mesh, ShardedSketch
+    from kevlar_tpu.sketch import Sketch
+
+    mesh = make_mesh(n_data=2, n_shard=4)
+    rng = np.random.default_rng(11)
+    bases = rng.integers(0, 4, size=(24, 70)).astype(np.uint8)
+    bases[3, 50:] = 4  # ambiguous tail: valid-mask interplay
+
+    routed = ShardedSketch(mesh, KSIZE, 4096, counter_bits=bits)
+    routed.consume_batch(bases, route='alltoall')
+    repl = ShardedSketch(mesh, KSIZE, 4096, counter_bits=bits)
+    repl.consume_batch(bases, route='replicate')
+    host = Sketch(KSIZE, routed.tablesize, 4, counter_bits=bits,
+                  backend='host')
+    host.consume_batch(bases)
+
+    np.testing.assert_array_equal(routed._host(), repl._host())
+    np.testing.assert_array_equal(routed._host(), host.tables)
+
+
+def test_routed_consume_overflow_falls_back():
+    """A batch whose k-mers all hash to one shard (every read identical)
+    overflows a tiny routing capacity; the batch must transparently re-run
+    down the replicate path with identical counts."""
+    from kevlar_tpu.parallel import make_mesh, ShardedSketch
+    from kevlar_tpu.sketch import Sketch
+
+    mesh = make_mesh(n_data=2, n_shard=4)
+    one = np.tile(np.array([0, 1, 2, 3], np.uint8), 16)[:60]
+    bases = np.tile(one, (16, 1))  # 16 copies of one read
+
+    sh = ShardedSketch(mesh, KSIZE, 4096)
+    sh.consume_batch(bases, route='alltoall', a2a_capacity=8)
+    host = Sketch(KSIZE, sh.tablesize, 4, backend='host')
+    host.consume_batch(bases)
+    np.testing.assert_array_equal(sh._host(), host.tables)
 
 
 @pytest.mark.slow
