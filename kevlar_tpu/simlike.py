@@ -364,17 +364,31 @@ def _screen(call, bundle, casemin, ctrlmax, caseabundlow, ctrlabundhigh):
         call.filter(vf.ControlAbundance)
 
 
-def _score(call, bundle, mu, sigma, epsilon):
-    abunds = bundle.aslists()
-    lldn = likelihood_denovo(abunds, bundle.refrcopies, mean=mu, sd=sigma,
-                             error=epsilon)
-    llfp = likelihood_false(abunds, bundle.refrcopies, mean=mu,
-                            error=epsilon)
-    llih = likelihood_inherited(abunds, mean=mu, sd=sigma, error=epsilon)
+def _score(call, bundle, mu, sigma, epsilon, precomputed=None):
+    if precomputed is not None:
+        lldn, llfp, llih = precomputed
+    else:
+        abunds = bundle.aslists()
+        lldn = likelihood_denovo(abunds, bundle.refrcopies, mean=mu,
+                                 sd=sigma, error=epsilon)
+        llfp = likelihood_false(abunds, bundle.refrcopies, mean=mu,
+                                error=epsilon)
+        llih = likelihood_inherited(abunds, mean=mu, sd=sigma, error=epsilon)
     call.annotate('LLDN', lldn)
     call.annotate('LLFP', llfp)
     call.annotate('LLIH', llih)
     call.annotate('LIKESCORE', lldn - max(llfp, llih))
+
+
+def _use_device_scoring(controls):
+    """Device tensor scoring (ops/simlike_ops.py) is opt-in: the host
+    numpy path is exact float64 ``math.lgamma`` and already control-plane
+    cheap (~0.6 ms/call), so float32 device math only pays off when the
+    pipeline is device-resident end-to-end.  Trios only (the inheritance
+    model is trio-specific)."""
+    import os
+    return os.environ.get('KEVLAR_SIMLIKE_DEVICE') == '1' \
+        and len(controls) == 2
 
 
 def _annotate_sample_data(call, bundle, samplelabels):
@@ -419,13 +433,13 @@ def simlike(variants, case, controls, refr, mu=30.0, sigma=8.0, epsilon=0.001,
         call.annotate('LIKESCORE', float('-inf'))
         by_partition[call.attribute('PART')].append(call)
 
-    def process(call, bundle):
+    def process(call, bundle, precomputed=None):
         call.annotate('DROPPED', bundle.ndropped)
         _screen(call, bundle, casemin, ctrlmax, caseabundlow, ctrlabundhigh)
         if fastmode and call.filterstr != 'PASS':
             park(call)
             return
-        _score(call, bundle, mu, sigma, epsilon)
+        _score(call, bundle, mu, sigma, epsilon, precomputed=precomputed)
         _annotate_sample_data(call, bundle, samplelabels)
         by_partition[call.attribute('PART')].append(call)
 
@@ -445,11 +459,18 @@ def simlike(variants, case, controls, refr, mu=30.0, sigma=8.0, epsilon=0.001,
                 pairs.append((call.window, call.refrwindow))
         bundles = gather_bundles_batched(pairs, case, controls, refr,
                                          dropoutliers=dropoutliers)
+        scores = None
+        if _use_device_scoring(controls):
+            from kevlar_tpu.ops import simlike_ops
+            lldn, llfp, llih = simlike_ops.score_bundles(
+                bundles, mean=mu, sd=sigma, error=epsilon)
+            scores = list(zip(lldn, llfp, llih))
         for call, slot in zip(calls, slots):
             if slot is None:
                 park(call)
             else:
-                process(call, bundles[slot])
+                process(call, bundles[slot],
+                        precomputed=scores[slot] if scores else None)
     else:
         for call in variants:
             if (fastmode and call.filterstr != 'PASS') or \

@@ -17,6 +17,12 @@ setup(
     entry_points={
         'console_scripts': [
             'kevlar-tpu = kevlar_tpu.cli:main',
+            # sandbox utilities (reference setup.py:65 installs
+            # kevlar/sandbox/*.py as scripts)
+            'kevlar-tpu-compact = kevlar_tpu.sandbox.compact:main',
+            'kevlar-tpu-get-partitions = '
+            'kevlar_tpu.sandbox.get_partitions:main',
+            'kevlar-tpu-subsketch = kevlar_tpu.sandbox.subsketch:main',
         ],
     },
     classifiers=[

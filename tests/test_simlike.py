@@ -298,3 +298,72 @@ def test_batched_gather_default_for_sharded_sketches(scoring_trio):
         iter(_three_calls(d)), sh['case'], [sh['mom'], sh['dad']],
         sh['refr'], mu=10.0, sigma=3.0, casemin=6))
     assert host == sharded
+
+
+def test_device_scoring_matches_host():
+    """The (call, k-mer, scenario) device tensor scoring
+    (ops/simlike_ops.py) must match the exact host likelihoods within
+    float32 tolerance and preserve the score ranking."""
+    import numpy as np
+    from kevlar_tpu.ops import simlike_ops
+    from kevlar_tpu.simlike import (_AbundanceBundle, likelihood_false,
+                                    likelihood_inherited)
+
+    rng = random.Random(77)
+    bundles, expected = [], []
+    for trial in range(50):
+        K = rng.randint(0, 40)
+        case = np.array([rng.randint(0, 40) for _ in range(K)])
+        mom = np.array([rng.randint(0, 6) for _ in range(K)])
+        dad = np.array([rng.randint(0, 6) for _ in range(K)])
+        if rng.random() < 0.5:
+            refr = [rng.randint(0, 4) for _ in range(K)]   # SNV mode
+        else:
+            refr = [None] * K                              # indel mode
+        b = _AbundanceBundle(case, [mom, dad], refr, 0)
+        bundles.append(b)
+        abunds = b.aslists()
+        expected.append((
+            likelihood_denovo(abunds, refr, mean=25.0, sd=7.0, error=0.001),
+            likelihood_false(abunds, refr, mean=25.0, error=0.001),
+            likelihood_inherited(abunds, mean=25.0, sd=7.0, error=0.001)))
+
+    lldn, llfp, llih = simlike_ops.score_bundles(
+        bundles, mean=25.0, sd=7.0, error=0.001)
+    got_scores, exp_scores = [], []
+    for i, (edn, efp, eih) in enumerate(expected):
+        assert lldn[i] == pytest.approx(edn, rel=2e-5, abs=2e-3)
+        assert llfp[i] == pytest.approx(efp, rel=2e-5, abs=2e-3)
+        assert llih[i] == pytest.approx(eih, rel=2e-5, abs=2e-3)
+        got_scores.append(lldn[i] - max(llfp[i], llih[i]))
+        exp_scores.append(edn - max(efp, eih))
+    assert np.array_equal(np.argsort(got_scores), np.argsort(exp_scores))
+
+
+def test_device_scoring_end_to_end(scoring_trio, monkeypatch):
+    """simlike with KEVLAR_SIMLIKE_DEVICE=1 must produce the same PASS
+    calls and near-identical LIKESCOREs as the host path."""
+    monkeypatch.setenv('KEVLAR_SIMLIKE_BATCH', '1')
+    d = scoring_trio
+    p = d['snvpos']
+
+    def run():
+        call = Variant('chr1', p, d['ref'], d['alt'],
+                       ALTWINDOW=d['child'][p - KSIZE + 1:p + KSIZE],
+                       REFRWINDOW=d['genome'][p - KSIZE + 1:p + KSIZE],
+                       PART='1')
+        out = list(simlike(iter([call]), d['case'], [d['mom'], d['dad']],
+                           d['refr'], mu=10.0, sigma=3.0, casemin=6))
+        return {(c.seqid, c.position): (c.filterstr,
+                                        c.attribute('LIKESCORE'))
+                for c in out}
+
+    monkeypatch.delenv('KEVLAR_SIMLIKE_DEVICE', raising=False)
+    host = run()
+    monkeypatch.setenv('KEVLAR_SIMLIKE_DEVICE', '1')
+    dev = run()
+    assert set(host) == set(dev)
+    for key in host:
+        assert host[key][0] == dev[key][0]
+        assert dev[key][1] == pytest.approx(host[key][1], rel=1e-4,
+                                            abs=1e-2)
