@@ -1,18 +1,26 @@
 """Pallas TPU kernel for the batched wavefront aligner.
 
 Same exact ksw_extz DP as :mod:`kevlar_tpu.ops.align_ops`, but with the
-wavefront state held in VMEM scratch and one grid step per alignment pair.
-The per-diagonal substitution scores are computed without any in-kernel
-gather: the query is pre-reversed into a modular buffer so the diagonal's
-query bases ``query[d - i]`` drop out of a dynamic lane rotate
-(``pltpu.roll``) — Mosaic forbids unaligned dynamic lane slices but
-supports dynamic rotates.
+wavefront state held in VMEM scratch.  Eight alignment pairs ride each
+grid step on the int32 SUBLANE axis — state vectors are ``[8, T]``, which
+exactly fills the (8, 128) int32 VPU tile (the first-generation kernel ran
+one pair per step on a ``[1, T]`` row: 1/8 utilization, and re-masked a
+``[32, T]`` direction buffer every diagonal).  The per-diagonal
+substitution scores are computed without any in-kernel gather: the query
+is pre-reversed into a modular buffer so the diagonal's query bases
+``query[d - i]`` drop out of a dynamic lane rotate (``pltpu.roll``) —
+Mosaic forbids unaligned dynamic lane slices but supports dynamic rotates.
+
+Direction bits (5 per cell: op in bits 0-2, gap-continuation in bits 3-4)
+are packed six diagonals per int32 word and flushed to the output every
+sixth step, so the direction tensor costs ndiag/6 int32 rows instead of
+ndiag uint8 rows (uint8 stores would force Mosaic's 32-sublane tile).
+The traceback reads the packed words directly (``_traceback_packed``).
 
 ``align_batch_pallas`` has the same contract as ``align_ops.align_batch``
 and is validated bit-identical against the scalar ksw2 reference both in
 interpret mode and compiled on real TPU hardware (Mosaic), including
-gap-extend and ambiguous-base cases.  Compiled steady-state: ~0.1 s for an
-8-pair batch end-to-end over the device tunnel.
+gap-extend and ambiguous-base cases.
 """
 
 import functools
@@ -25,31 +33,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kevlar_tpu.ops.align import NEG_INF
 
+R = 8           # pairs per grid step (int32 sublane tile)
+DPW = 6         # diagonals packed per int32 direction word (5 bits each)
+MAX_DIM = 512   # above this, VMEM blocks outgrow the core; use align_ops
+
 
 def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
     ndiag = T + Q - 1
-    ndiag32 = -(-ndiag // 32) * 32   # uint8 sublane tile is 32
+    ndiag6 = -(-ndiag // DPW)
     a = int(match)
     b = int(mismatch if mismatch < 0 else -mismatch)
 
-    def kernel(bidx, tlens_ref, qlens_ref, target_ref, qrbuf_ref, score_ref,
-               zdiag_ref, h_prev, h_prev2, e_prev, f_prev, zbuf, score_s):
-        # NB: the grid id must not be named `b` — it would shadow the
-        # mismatch score above (the bug behind the original TPU parity gap)
-        tlen = tlens_ref[bidx]
-        qlen = qlens_ref[bidx]
-        ii = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-        tcodes = target_ref[:].reshape(1, T).astype(jnp.int32)
+    def kernel(tl_ref, ql_ref, target_ref, qrbuf_ref, score_ref, zdiag_ref,
+               h_prev, h_prev2, e_prev, f_prev, zpack, svec):
+        tlen = tl_ref[0]          # [R, T] broadcast copies of each tlen
+        qlen = ql_ref[0]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (R, T), 1)
+        tcodes = target_ref[0]
 
-        neg = jnp.full((1, T), NEG_INF, jnp.int32)
+        neg = jnp.full((R, T), NEG_INF, jnp.int32)
         h_prev[:] = neg
         h_prev2[:] = neg
         e_prev[:] = neg
         f_prev[:] = neg
-        score_s[0] = NEG_INF
+        svec[:] = jnp.full((R, 128), NEG_INF, jnp.int32)
 
         def shift1(v):
-            """v[i] -> v[i-1], with NEG_INF entering at i == 0."""
+            """v[:, i] -> v[:, i-1], with NEG_INF entering at lane 0."""
             rolled = pltpu.roll(v, 1, axis=1)
             return jnp.where(ii == 0, jnp.int32(NEG_INF), rolled)
 
@@ -74,18 +84,16 @@ def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
             f = jnp.maximum(F_prev - gape, H_prev - gapoe)
             f = jnp.where(jj == 0, -(gapoe + gapoe + gape * ii), f)
 
-            # qd[i] = query[d - i]: vbuf[x] = qext[(-x) mod L2], so a
-            # dynamic rotate by d aligns qext[d - i] onto lane i
-            qrow = qrbuf_ref[:].reshape(1, L2)
-            rolled = pltpu.roll(qrow, d, axis=1)
-            qd = rolled[:, :T].astype(jnp.int32)
+            # qd[r, i] = query[r, d - i]: qrbuf[r, x] = qext[r, (-x) mod
+            # L2], so one dynamic rotate by d aligns qext[d - i] onto
+            # lane i for all R rows at once
+            rolled = pltpu.roll(qrbuf_ref[0], d, axis=1)
+            qd = rolled[:, :T]
             sub_diag = jnp.where(
                 (tcodes >= 4) | (qd >= 4), 0,
                 jnp.where(tcodes == qd, a, b)).astype(jnp.int32)
 
             hdiag = hd + sub_diag
-            # direction bits kept in int32 end-to-end: mixing i1 masks with
-            # uint8 vectors forces an unsupported Mosaic relayout
             d0 = jnp.where(hdiag >= e, 0, 1)
             h = jnp.maximum(hdiag, e)
             d0 = jnp.where(h >= f, d0, 2)
@@ -99,22 +107,21 @@ def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
             e = jnp.where(inbounds, e, jnp.int32(NEG_INF))
             f = jnp.where(inbounds, f, jnp.int32(NEG_INF))
 
-            # buffer direction rows and flush 32-aligned chunks (Mosaic
-            # requires uint8 sublane indices to be multiples of 32)
-            row = jax.lax.broadcasted_iota(jnp.int32, (32, T), 0)
-            zbuf[:] = jnp.where(row == (d % 32), d0.reshape(1, T), zbuf[:])
+            # pack this diagonal's 5-bit codes into the current word
+            phase = d % DPW
+            zpack[:] = jnp.where(phase == 0, d0,
+                                 zpack[:] | (d0 << (5 * phase)))
 
-            @pl.when((d % 32) == 31)
+            @pl.when(phase == DPW - 1)
             def _():
-                base = pl.multiple_of(d - 31, 32)
-                zdiag_ref[pl.ds(base, 32), :] = zbuf[:].astype(jnp.uint8)
+                zdiag_ref[0, pl.ds(d // DPW, 1)] = zpack[:].reshape(1, R, T)
 
+            # the exit cell (tlen-1, qlen-1) is visited exactly once per
+            # pair; max-accumulate captures its H without a scalar branch
             is_final = (ii == (tlen - 1)) & (jj == (qlen - 1))
-            final_h = jnp.max(jnp.where(is_final, h, jnp.int32(NEG_INF)))
-
-            @pl.when(d == (tlen + qlen - 2))
-            def _():
-                score_s[0] = final_h
+            rowmax = jnp.max(jnp.where(is_final, h, jnp.int32(NEG_INF)),
+                             axis=1, keepdims=True)
+            svec[:] = jnp.maximum(svec[:], rowmax)
 
             h_prev2[:] = H_prev
             h_prev[:] = h
@@ -123,13 +130,13 @@ def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
             return 0
 
         jax.lax.fori_loop(0, ndiag, body, 0)
-        if ndiag % 32:
-            # flush the final partial chunk (static, aligned base)
-            zdiag_ref[pl.ds((ndiag // 32) * 32, 32), :] = \
-                zbuf[:].astype(jnp.uint8)
-        score_ref[:] = jnp.full((1, 128), score_s[0], jnp.int32)
+        if ndiag % DPW:
+            # flush the final partial word (static index)
+            zdiag_ref[0, pl.ds(ndiag // DPW, 1)] = \
+                zpack[:].reshape(1, R, T)
+        score_ref[0] = svec[:]
 
-    return kernel
+    return kernel, ndiag6
 
 
 @functools.partial(
@@ -139,8 +146,8 @@ def _kernel_factory(T, Q, L2, match, mismatch, gapoe, gape):
 def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
                         mismatch=2, gapopen=5, gapextend=0, interpret=False):
     B = targets.shape[0]
-    ndiag = T + Q - 1
-    ndiag32 = -(-ndiag // 32) * 32
+    assert B % R == 0
+    Bg = B // R
     gapoe = gapopen + gapextend
 
     # vbuf[b, x] = qext[b, (-x) mod L2] with qext = query padded by the
@@ -151,61 +158,107 @@ def _align_pallas_batch(targets, tlens, queries, qlens, T, Q, match=1,
     src = (-x) % L2
     valid = src < Q
     src_clip = jnp.asarray(np.clip(src, 0, Q - 1))
-    # int32 buffer: Mosaic's dynamic rotate requires 32-bit lanes
     qrbuf = jnp.where(jnp.asarray(valid)[None, :],
                       queries[:, src_clip], jnp.uint8(4)).astype(jnp.int32)
 
-    kernel = _kernel_factory(T, Q, L2, match, mismatch, gapoe, gapextend)
+    kernel, ndiag6 = _kernel_factory(T, Q, L2, match, mismatch, gapoe,
+                                     gapextend)
 
-    def wrapped(tlens_ref, qlens_ref, target_ref, qrbuf_ref, score_ref,
-                zdiag_ref, *scratch):
-        b = pl.program_id(0)
-        kernel(b, tlens_ref, qlens_ref, target_ref, qrbuf_ref,
-               score_ref.at[0], zdiag_ref.at[0], *scratch)
+    # per-group [R, T]/[R, L2] int32 views; lengths broadcast across lanes
+    tg = targets.astype(jnp.int32).reshape(Bg, R, T)
+    qg = qrbuf.reshape(Bg, R, L2)
+    tl = jnp.broadcast_to(tlens.astype(jnp.int32).reshape(Bg, R, 1),
+                          (Bg, R, T))
+    ql = jnp.broadcast_to(qlens.astype(jnp.int32).reshape(Bg, R, 1),
+                          (Bg, R, T))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B,),
+        num_scalar_prefetch=0,
+        grid=(Bg,),
         in_specs=[
-            # singleton sublane axis keeps Mosaic's (8, 128) tiling rule
-            # satisfied: last-two block dims equal the array dims
-            pl.BlockSpec((1, 1, T), lambda b, tl, ql: (b, 0, 0),
+            pl.BlockSpec((1, R, T), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L2), lambda b, tl, ql: (b, 0, 0),
+            pl.BlockSpec((1, R, T), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, T), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, L2), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 128), lambda b, tl, ql: (b, 0, 0),
+            pl.BlockSpec((1, R, 128), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ndiag32, T), lambda b, tl, ql: (b, 0, 0),
+            pl.BlockSpec((1, ndiag6, R, T), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, T), jnp.int32),
-            pltpu.VMEM((1, T), jnp.int32),
-            pltpu.VMEM((1, T), jnp.int32),
-            pltpu.VMEM((1, T), jnp.int32),
-            pltpu.VMEM((32, T), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((R, T), jnp.int32),
+            pltpu.VMEM((R, T), jnp.int32),
+            pltpu.VMEM((R, T), jnp.int32),
+            pltpu.VMEM((R, T), jnp.int32),
+            pltpu.VMEM((R, T), jnp.int32),
+            pltpu.VMEM((R, 128), jnp.int32),
         ],
     )
 
     scores, zdiags = pl.pallas_call(
-        wrapped,
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, ndiag32, T), jnp.uint8),
+            jax.ShapeDtypeStruct((Bg, R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Bg, ndiag6, R, T), jnp.int32),
         ],
         interpret=interpret,
-    )(tlens.astype(jnp.int32), qlens.astype(jnp.int32),
-      targets[:, None, :], qrbuf[:, None, :])
-    return scores[:, 0, 0], zdiags
+    )(tl, ql, tg, qg)
+    # [Bg, ndiag6, R, T] -> per-pair [B, ndiag6, T] packed direction words
+    zdiags = zdiags.transpose(0, 2, 1, 3).reshape(B, ndiag6, T)
+    return scores.reshape(B, 128)[:, 0], zdiags
+
+
+@functools.partial(jax.jit, static_argnames=('T', 'Q'))
+def _traceback_packed(zdiags, tlens, qlens, T, Q):
+    """Device backtrack over the PACKED direction words: the cell at
+    (i, j) lives in word ``zdiags[(i+j) // DPW, i]``, bits
+    ``5*((i+j) % DPW)``.  Same walk as align_ops._traceback_batch."""
+    nsteps = T + Q
+
+    def one(zdiag, tlen, qlen):
+        def body(carry, _):
+            i, j, state, done = carry
+            active = ~done
+            ii = jnp.maximum(i, 0)
+            jj = jnp.maximum(j, 0)
+            d = ii + jj
+            word = zdiag[d // DPW, ii]
+            tmp = (word >> (5 * (d % DPW))) & 0x1F
+            cont = (tmp >> (state + 2)) & 1
+            s1 = jnp.where(state == 0, tmp & 7,
+                           jnp.where(cont == 0, 0, state))
+            s2 = jnp.where(s1 == 0, tmp & 7, s1)
+            op = jnp.where(active, s2.astype(jnp.uint8), jnp.uint8(3))
+            di = ((s2 == 0) | (s2 == 1)).astype(jnp.int32)
+            dj = ((s2 == 0) | (s2 == 2)).astype(jnp.int32)
+            i2 = jnp.where(active, i - di, i)
+            j2 = jnp.where(active, j - dj, j)
+            done2 = done | (i2 < 0) | (j2 < 0)
+            return (i2, j2, s2, done2), op
+
+        init = (tlen - 1, qlen - 1, jnp.int32(0),
+                (tlen <= 0) | (qlen <= 0))
+        (fi, fj, _, _), ops = jax.lax.scan(body, init, None, length=nsteps)
+        return ops, fi, fj
+
+    return jax.vmap(one)(zdiags, tlens.astype(jnp.int32),
+                         qlens.astype(jnp.int32))
 
 
 def align_batch_pallas(target_seqs, query_seqs, match=1, mismatch=2,
                        gapopen=5, gapextend=0, interpret=None):
-    """Device-batched alignment via the Pallas kernel; exact ksw2 results."""
+    """Device-batched alignment via the Pallas kernel; exact ksw2 results.
+
+    Buckets above MAX_DIM delegate to the XLA wavefront (align_ops) —
+    their packed direction blocks would outgrow VMEM.
+    """
     from kevlar_tpu import dna
 
     if interpret is None:
@@ -220,10 +273,16 @@ def align_batch_pallas(target_seqs, query_seqs, match=1, mismatch=2,
     B = len(target_seqs)
     T = bucket(max((len(t) for t in target_seqs), default=1))
     Q = bucket(max((len(q) for q in query_seqs), default=1))
-    # pad the batch axis to a power of two so the compiled-program count
-    # stays logarithmic in partition-size variety (tunnel compiles cost
-    # minutes each); padded rows have tlen=qlen=0 and are dropped below
-    Bpad = bucket(B, floor=8)
+    if T > MAX_DIM or Q > MAX_DIM:
+        from kevlar_tpu.ops.align_ops import align_batch
+        return align_batch(target_seqs, query_seqs, match=match,
+                           mismatch=mismatch, gapopen=gapopen,
+                           gapextend=gapextend)
+    # pad the batch axis to a power of two (>= R) so the compiled-program
+    # count stays logarithmic in partition-size variety (tunnel compiles
+    # cost minutes each); padded rows have tlen=qlen=0, score NEG_INF,
+    # and are dropped below
+    Bpad = bucket(B, floor=R)
     pad_rows = [''] * (Bpad - B)
     targets, tlens = dna.encode_batch(list(target_seqs) + pad_rows, pad_to=T)
     queries, qlens = dna.encode_batch(list(query_seqs) + pad_rows, pad_to=Q)
@@ -232,10 +291,10 @@ def align_batch_pallas(target_seqs, query_seqs, match=1, mismatch=2,
         jnp.asarray(targets), jnp.asarray(tlens), jnp.asarray(queries),
         jnp.asarray(qlens), T=T, Q=Q, match=match, mismatch=mismatch,
         gapopen=gapopen, gapextend=gapextend, interpret=interpret)
-    # device traceback (align_ops): only O(B*(T+Q)) op bytes cross the
-    # link, never the [B, ndiag, T] direction tensor
-    from kevlar_tpu.ops.align_ops import _traceback_batch, _cigar_from_ops
-    ops_rev, exit_i, exit_j = _traceback_batch(
+    # device traceback: only O(B*(T+Q)) op bytes cross the link, never
+    # the packed [B, ndiag/6, T] direction tensor
+    from kevlar_tpu.ops.align_ops import _cigar_from_ops
+    ops_rev, exit_i, exit_j = _traceback_packed(
         zdiags, jnp.asarray(tlens), jnp.asarray(qlens), T=T, Q=Q)
     scores = np.asarray(scores)
     ops_rev = np.asarray(ops_rev)

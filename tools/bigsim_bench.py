@@ -51,17 +51,107 @@ def timed_stage(arglist):
     return time.time() - t0
 
 
-def simulate_genome(path, size, seed):
+def _write_fasta(path, codes):
     import numpy as np
-    rng = np.random.default_rng(seed)
-    codes = rng.integers(0, 4, size=size, dtype=np.uint8)
     seq = np.frombuffer(b'ACGT', np.uint8)[codes]
     with open(path, 'wb') as fh:
         fh.write(b'>chrS\n')
         row = 1 << 20
-        for i in range(0, size, row):
+        for i in range(0, len(seq), row):
             fh.write(seq[i:i + row].tobytes())
             fh.write(b'\n')
+
+
+def simulate_genome(path, size, seed):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    _write_fasta(path, rng.integers(0, 4, size=size, dtype=np.uint8))
+
+
+def _diverged_copies(rng, consensus, n, divergence):
+    """[n, len] copies of a consensus with per-copy random substitutions."""
+    import numpy as np
+    copies = np.tile(consensus, (n, 1))
+    mut = rng.random(copies.shape) < divergence
+    rot = rng.integers(1, 4, size=int(mut.sum())).astype(np.uint8)
+    copies[mut] = (copies[mut] + rot) & 3
+    return copies
+
+
+def simulate_repeat_genome(path, size, seed, stats=None):
+    """hg38-class repeat structure instead of uniform-random sequence.
+
+    Composition modeled on the human genome (the reference's bigsim trio
+    is hg38 chr17, ~45% repeat-masked): ~10% SINE-class 300 bp elements
+    (Alu analog, ~12% per-copy divergence), ~17% LINE-class elements (6 kb
+    consensus, 5'-truncated copies like real L1s, ~12% divergence), ~3%
+    simple tandem repeats (unit 2-50 bp, low per-unit divergence), ~5%
+    segmental duplications (20-50 kb blocks re-copied at ~2% divergence).
+    All placements overlap freely (later writes win), like real nested
+    repeats.  Everything is numpy-vectorized so 80 Mb builds in seconds.
+    """
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, size=size, dtype=np.uint8)
+    placed = {}
+
+    def place(copies, positions):
+        idx = positions[:, None] + np.arange(copies.shape[1])
+        genome[idx.ravel()] = copies.ravel()
+
+    # SINE-class: 300 bp consensus, ~12% divergence per copy
+    sine = rng.integers(0, 4, size=300, dtype=np.uint8)
+    n_sine = int(0.10 * size / 300)
+    if n_sine:
+        pos = rng.integers(0, size - 300, size=n_sine)
+        place(_diverged_copies(rng, sine, n_sine, 0.12), pos)
+        placed['SINE'] = n_sine * 300
+
+    # LINE-class: 6 kb consensus, 5'-truncated copies, ~12% divergence
+    line = rng.integers(0, 4, size=6000, dtype=np.uint8)
+    budget = int(0.17 * size)
+    total = 0
+    lens, starts = [], []
+    while total < budget:
+        ln = int(rng.integers(500, 6001))
+        lens.append(ln)
+        starts.append(int(rng.integers(0, size - ln)))
+        total += ln
+    for ln, st in zip(lens, starts):
+        frag = line[6000 - ln:]  # 5' truncation keeps the 3' end
+        copy = _diverged_copies(rng, frag, 1, 0.12)[0]
+        genome[st:st + ln] = copy
+    placed['LINE'] = total
+
+    # simple tandem repeats: unit 2-50 bp, 2% per-unit divergence
+    budget = int(0.03 * size)
+    total = 0
+    while total < budget:
+        unit_len = int(rng.integers(2, 51))
+        ncopies = int(rng.integers(10, max(11, 2000 // unit_len)))
+        unit = rng.integers(0, 4, size=unit_len, dtype=np.uint8)
+        arr = _diverged_copies(rng, unit, ncopies, 0.02).ravel()
+        st = int(rng.integers(0, size - len(arr)))
+        genome[st:st + len(arr)] = arr
+        total += len(arr)
+    placed['tandem'] = total
+
+    # segmental duplications: 20-50 kb blocks, ~2% divergence
+    budget = int(0.05 * size)
+    total = 0
+    while total < budget:
+        ln = int(rng.integers(20_000, 50_001))
+        src = int(rng.integers(0, size - ln))
+        dst = int(rng.integers(0, size - ln))
+        block = _diverged_copies(rng, genome[src:src + ln].copy(), 1,
+                                 0.02)[0]
+        genome[dst:dst + ln] = block
+        total += ln
+    placed['segdup'] = total
+
+    if stats is not None:
+        stats.update({k: round(v / size, 4) for k, v in placed.items()})
+    _write_fasta(path, genome)
 
 
 def truth_rows(vcffile):
@@ -316,6 +406,10 @@ def main():
     ap.add_argument('--seed', type=int, default=20260820)
     ap.add_argument('--memory', default=None, help='per-sample sketch '
                     'memory (default: scaled to genome size)')
+    ap.add_argument('--repeats', action='store_true',
+                    help='hg38-class repeat-rich genome (SINE/LINE-class '
+                         'interspersed repeats, tandem repeats, segmental '
+                         'duplications) instead of uniform-random sequence')
     ap.add_argument('--workdir', default=None)
     ap.add_argument('--out', default=os.path.join(REPO,
                                                   'ACCURACY_BIGSIM.json'))
@@ -364,7 +458,13 @@ def main():
     from sim_trio_bench import simulate_reads
     wall = {}
     t0 = time.time()
-    simulate_genome('genome.fa', args.genome_size, args.seed)
+    repeat_stats = {}
+    if args.repeats:
+        simulate_repeat_genome('genome.fa', args.genome_size, args.seed,
+                               stats=repeat_stats)
+        print('# repeat composition:', repeat_stats, file=sys.stderr)
+    else:
+        simulate_genome('genome.fa', args.genome_size, args.seed)
     timed_stage(['gentrio', '--vcf', 'truth.vcf', '--prefix', 'trio',
                  '--inherited', args.inherited, '--de-novo', args.denovo,
                  '--seed', args.seed, 'genome.fa'])
@@ -424,6 +524,8 @@ def main():
         'coverage': args.coverage, 'error_rate': args.error,
         'reads_per_sample': nreads, 'denovo_simulated': args.denovo,
         'denovo_in_truth': len(truth), 'sketch_memory': mem,
+        'repeat_genome': bool(args.repeats),
+        'repeat_composition': repeat_stats or None,
         'wall_s': wall, 'total_wall_s': total_wall,
         'evaluation': ev,
         'evaluation_reference_protocol': evaluate_reference_protocol(
