@@ -41,12 +41,16 @@ def alac(pstream, refrfile, threads=1, ksize=31, maxreads=10000, delta=50,
          match=1, mismatch=2, gapopen=5, gapextend=0, min_ikmers=None,
          maskfile=None, maskmem=1e6, maskmaxfpr=0.01, maxtargetlen=10000,
          mesh=None):
+    import time
     from kevlar_tpu import call as call_mod
 
+    t0 = time.time()
     contigs = _assembled_contigs(pstream, maxreads, threads, min_ikmers)
+    t1 = time.time()
     targets = _localized_targets(
         contigs, refrfile, seedsize=seedsize, delta=delta, maxdiff=maxdiff,
         inclpattern=inclpattern, exclpattern=exclpattern)
+    t2 = time.time()
 
     # one global (size-bucketed, optionally mesh-sharded) alignment batch
     # across every partition — the device-parallel analog of the
@@ -57,6 +61,7 @@ def alac(pstream, refrfile, threads=1, ksize=31, maxreads=10000, delta=50,
          for partid in targets},
         match=match, mismatch=mismatch, gapopen=gapopen,
         gapextend=gapextend, mesh=mesh)
+    t3 = time.time()
 
     def call_one(partid):
         return list(call_mod.call(
@@ -79,12 +84,17 @@ def alac(pstream, refrfile, threads=1, ksize=31, maxreads=10000, delta=50,
         for partid in partids:
             calls += call_one(partid)
     calls.sort(key=lambda c: (c.seqid, c.position))
+    t4 = time.time()
 
     if maskfile:
         kevlar_tpu.plog('[kevlar::alac] generating mask of variant-spanning '
                         'k-mers')
         call_mod.make_call_mask(calls, ksize, maskmem, maskmaxfpr, maskfile,
                                 logprefix='[kevlar::alac]')
+    kevlar_tpu.plog(
+        '[kevlar::alac] phase walls: assemble {:.1f}s, localize {:.1f}s, '
+        'align {:.1f}s, call {:.1f}s, mask {:.1f}s'.format(
+            t1 - t0, t2 - t1, t3 - t2, t4 - t3, time.time() - t4))
     yield from calls
 
 

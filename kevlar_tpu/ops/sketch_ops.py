@@ -237,13 +237,19 @@ def _scatter_hashes_i32(acc, h1, h2, valid, tablesize, counter_bits=8):
     """
     h1f = h1.ravel()
     h2f = h2.ravel()
-    vf = valid.ravel().astype(jnp.int32)
+    vf = valid.ravel()
     ntables = acc.shape[0]
     nbytes = packed_width(tablesize, counter_bits)
+    planar_size = COUNTERS_PER_BYTE[counter_bits] * nbytes
     for t in range(ntables):
         idx = hashing.table_index(h1f, h2f, t, tablesize).astype(jnp.int32)
         idx = _planar_index(idx, counter_bits, nbytes)
-        acc = acc.at[t, idx].add(vf, mode='drop')
+        # invalid/masked k-mers go OUT OF BOUNDS and are dropped by the
+        # scatter instead of adding 0 — identical counts, and the dropped
+        # elements skip the serialized RMW (decisive for masked counting,
+        # where most k-mers are screened out)
+        idx = jnp.where(vf, idx, planar_size)
+        acc = acc.at[t, idx].add(1, mode='drop')
     return acc
 
 
@@ -264,13 +270,18 @@ def _consume_hashes(tables, h1, h2, valid, maxcount, counter_bits=8,
     planar_size = COUNTERS_PER_BYTE[counter_bits] * nbytes
     h1f = h1.ravel()
     h2f = h2.ravel()
-    vf = valid.ravel().astype(jnp.int32)
+    vf = valid.ravel()
     new_rows = []
     for t in range(ntables):
         idx = hashing.table_index(h1f, h2f, t, tablesize).astype(jnp.int32)
         idx = _planar_index(idx, counter_bits, nbytes)
+        # invalid/masked k-mers scatter out of bounds (mode='drop') rather
+        # than adding 0: identical counts, but the dropped elements skip
+        # the serialized RMW — decisive for masked counting, where most
+        # k-mers are screened out
+        idx = jnp.where(vf, idx, planar_size)
         inc = jnp.zeros((planar_size,), dtype=jnp.int32).at[idx].add(
-            vf, mode='drop')
+            1, mode='drop')
         row = _unpack_row_planar(tables[t], counter_bits)
         row = jnp.minimum(row.astype(jnp.int32) + inc,
                           maxcount).astype(jnp.uint8)

@@ -60,15 +60,57 @@ def main():
             print('# MISMATCH: got {} {} want {} {}'.format(
                 cigar, score, want_cigar, want_score), file=sys.stderr)
 
-    print(json.dumps({
+    result = {
         'metric': 'pallas_align_parity',
         'backend': jax.default_backend(),
+        'device': str(jax.devices()[0].device_kind)
+        if jax.devices() else '?',
         'pairs': len(pairs),
         'mismatches': mismatches,
         'first_call_s': round(compile_and_run_s, 2),
         'steady_batch_s': round(steady_s, 3),
         'pairs_per_s_steady': round(len(pairs) / steady_s, 1),
-    }))
+    }
+
+    # batch-scale head-to-head at production shapes: the Pallas kernel vs
+    # the XLA wavefront (align_ops), both end-to-end incl. traceback
+    if '--batch-scale' in sys.argv:
+        from kevlar_tpu.ops.align_ops import align_batch
+        B = 1024
+        rng2 = random.Random(7)
+        tgts, qrys = [], []
+        for _ in range(B):
+            tlen = rng2.randint(180, 250)
+            qlen = rng2.randint(120, 200)
+            t = ''.join(rng2.choice('ACGT') for _ in range(tlen))
+            s = rng2.randrange(max(1, tlen - qlen))
+            q = list(t[s:s + qlen])
+            for _ in range(rng2.randint(0, 5)):
+                q[rng2.randrange(len(q))] = rng2.choice('ACGT')
+            tgts.append(t)
+            qrys.append(''.join(q))
+        for name, fn in (('pallas', align_batch_pallas),
+                         ('xla_wavefront', align_batch)):
+            t0 = time.time()
+            out1 = fn(tgts, qrys)
+            first = time.time() - t0
+            t0 = time.time()
+            out2 = fn(tgts, qrys)
+            steady = time.time() - t0
+            assert out1 == out2
+            result['batch_{}'.format(name)] = {
+                'pairs': B, 'first_call_s': round(first, 2),
+                'steady_s': round(steady, 3),
+                'pairs_per_s': round(B / steady, 1)}
+            # spot-check 32 pairs against the scalar ground truth
+            for i in range(0, B, B // 32):
+                want = align_scalar(tgts[i], qrys[i])
+                if out1[i] != want:
+                    mismatches += 1
+                    print('# BATCH MISMATCH at', i, file=sys.stderr)
+        result['mismatches'] = mismatches
+
+    print(json.dumps(result))
     sys.exit(1 if mismatches else 0)
 
 
