@@ -27,6 +27,8 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
     Uses the native C++ batch parser when built (reads marshalled straight
     into padded device batches); falls back to the Python parser.
     """
+    import os
+    import time
     import numpy as np
     from kevlar_tpu.batch import chunk_long_records, native_base_batches
     numreads = 0
@@ -34,6 +36,12 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
     threshold = 1 if consume_masked else maskmaxabund
     stack_depth = 8
     pending = {}
+    # KEVLAR_COUNT_TIMING=1: decompose the stage wall into host parse/
+    # marshal time vs time blocked inside dispatch calls (async device
+    # work overlaps the parse; blocking here means the dispatch queue or
+    # an H2D transfer is the limiter) vs the final chain sync
+    timing = os.environ.get('KEVLAR_COUNT_TIMING') == '1'
+    walls = {'parse': 0.0, 'dispatch': 0.0, 'sync': 0.0}
 
     def flush(shape):
         stack = pending.pop(shape)
@@ -85,13 +93,22 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
         shape = bases.shape
         pending.setdefault(shape, []).append(np.asarray(bases))
         if len(pending[shape]) >= stack_depth:
+            t0 = time.time() if timing else 0
             flush(shape)
+            if timing:
+                walls['dispatch'] += time.time() - t0
 
     for seqfile in seqfiles:
         try:
-            for bases, lengths in native_base_batches(seqfile, batch_size,
-                                                      overlap=wing):
-                consume(bases, len(lengths))
+            it = native_base_batches(seqfile, batch_size, overlap=wing)
+            while True:
+                t0 = time.time() if timing else 0
+                nxt = next(it, None)
+                if timing:
+                    walls['parse'] += time.time() - t0
+                if nxt is None:
+                    break
+                consume(nxt[0], len(nxt[1]))
         except ImportError:
             stream = chunk_long_records(
                 seqio.multi_file_iter([seqfile]), overlap=wing)
@@ -99,6 +116,16 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
                 consume(batch.bases, len(batch))
     for shape in list(pending):
         flush(shape)
+    if timing:
+        t0 = time.time()
+        if hasattr(sketch, 'tables'):
+            import jax
+            jax.block_until_ready(sketch.tables)
+        walls['sync'] = time.time() - t0
+        kevlar_tpu.plog(
+            '[kevlar::count] timing: parse+marshal {parse:.1f}s, '
+            'dispatch-blocked {dispatch:.1f}s, final sync '
+            '{sync:.1f}s'.format(**walls))
     return numreads
 
 

@@ -413,6 +413,37 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
             else:
                 yield from decode_hits(rbatch, hits_np, hitab_np, disc)
 
+    import os as _os
+    import time as _time
+    _timing = _os.environ.get('KEVLAR_COUNT_TIMING') == '1'
+    _walls = {'parse': 0.0, 'dispatch': 0.0, 'collect': 0.0}
+
+    def _timed_stream(stream):
+        it = iter(stream)
+        while True:
+            t0 = _time.time()
+            nxt = next(it, None)
+            _walls['parse'] += _time.time() - t0
+            if nxt is None:
+                return
+            yield nxt
+
+    if _timing:
+        batchstream = _timed_stream(batchstream)
+        _dispatch0, _collect0 = dispatch_stack, collect
+
+        def dispatch_stack(stack):
+            t0 = _time.time()
+            out = _dispatch0(stack)
+            _walls['dispatch'] += _time.time() - t0
+            return out
+
+        def collect(entry):
+            t0 = _time.time()
+            out = list(_collect0(entry))
+            _walls['collect'] += _time.time() - t0
+            yield from out
+
     nskipped = 0
     for rbatch in batchstream:
         if skipping:
@@ -474,6 +505,11 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
         yield from collect(inflight.popleft())
 
     elapsed = timer.stop()
+    if _timing:
+        kevlar_tpu.plog(
+            '[kevlar::novel] timing: parse+marshal {parse:.1f}s, '
+            'dispatch-enqueue {dispatch:.1f}s, collect(device+decode) '
+            '{collect:.1f}s'.format(**_walls))
     message = 'Found {:d} instances of {:d} unique novel kmers in {:d} reads'
     message += ' in {:.2f} seconds'
     kevlar_tpu.plog('[kevlar::novel]', message.format(
