@@ -134,7 +134,7 @@ def load_sample_seqfile(seqfiles, ksize, memory, maxfpr=0.2, count=True,
                         consume_masked=False, numbands=None, band=None,
                         outfile=None, numthreads=1,
                         batch_size=DEFAULT_BATCH_SIZE, mesh=None,
-                        sketch_format='native'):
+                        sketch_format='native', save_async=False):
     """Compute k-mer abundances for one sample; returns the sketch.
 
     With `mesh`, the sketch is hash-sharded across the mesh's 'shard' axis
@@ -200,7 +200,18 @@ def load_sample_seqfile(seqfiles, ksize, memory, maxfpr=0.2, count=True,
         extensions = get_extension(count=count, smallcount=smallcount)
         if not outfile.endswith(extensions):
             outfile += extensions[1]
-        sketch.save(outfile)
+        if save_async:
+            # checkpoint write off the critical path: the device->host
+            # mirror + npz write overlap the next stage's compute (the
+            # device tables are immutable once counted).  Caller joins
+            # the returned sketch._save_thread before relying on the file.
+            import threading
+            thread = threading.Thread(target=sketch.save, args=(outfile,),
+                                      name='kevlar-save')
+            thread.start()
+            sketch._save_thread = thread
+        else:
+            sketch.save(outfile)
         message += ';\n    saved to "{:s}"'.format(outfile)
     kevlar_tpu.plog('[kevlar::count]', message)
     return sketch

@@ -231,6 +231,13 @@ def seed_codes(bases, seedsize):
         shape = bases.shape[:-1]
         return (np.zeros(shape + (0, 4), dtype=np.uint64),
                 np.zeros(shape + (0,), dtype=bool))
+    if bases.ndim == 1 and L > 4096:
+        # genome-scale fast path: the per-base pack loop below costs
+        # O(seedsize * L) strided uint64 work (40 s for a 25 Mb genome);
+        # packing the sequence once into a 64-bit stream and extracting
+        # each seed as bit windows is O(L) (identical codes; pinned in
+        # tests/test_localize.py)
+        return _seed_codes_stream(bases, seedsize)
     b = bases.astype(np.uint64)
     comp = np.uint64(3) - np.minimum(b, 3).astype(np.uint64)
 
@@ -264,4 +271,78 @@ def seed_codes(bases, seedsize):
         decided |= lt | gt
     use_f |= ~decided  # equal -> forward
     canon = np.where(use_f[..., None], fwd, rev)
+    return canon, valid
+
+
+def _pack_stream_u64(codes):
+    """2-bit-pack a 1-D code array into big-endian uint64 words (32 bases
+    per word, first base most significant), padded with two zero words."""
+    L = len(codes)
+    pad = (-L) % 32
+    b = np.concatenate([np.minimum(codes, 3),
+                        np.zeros(pad, np.uint8)]).astype(np.uint64)
+    w = b.reshape(-1, 32)
+    shifts = np.uint64(62) - np.uint64(2) * np.arange(32, dtype=np.uint64)
+    gw = np.bitwise_or.reduce(w << shifts[None, :], axis=1)
+    return np.concatenate([gw, np.zeros(2, np.uint64)])
+
+
+def _window64(gw, a):
+    """64 stream bits starting at bit offset ``a`` (array), MSB-first."""
+    k = a >> 6
+    s = (a & 63).astype(np.uint64)
+    hi = gw[k] << s
+    lo = np.where(s > 0,
+                  gw[k + 1] >> ((np.uint64(64) - s) & np.uint64(63)),
+                  np.uint64(0))
+    return hi | lo
+
+
+def _seed_codes_stream(bases, seedsize):
+    """Fast 1-D `seed_codes`: pack once, extract bit windows per seed.
+
+    Produces the identical (codes, valid) arrays as the generic path for
+    every valid seed (N-containing seeds are invalid either way and their
+    code content is irrelevant)."""
+    L = bases.shape[-1]
+    P = L - seedsize + 1
+    gw_f = _pack_stream_u64(bases)
+    comp = (np.uint8(3) - np.minimum(bases, 3))[::-1]
+    gw_r = _pack_stream_u64(comp)
+
+    s2 = 2 * seedsize
+    nw_used = -(-s2 // 64)
+    r = s2 - 64 * (nw_used - 1)  # bits in the top used word
+    p = np.arange(P, dtype=np.int64)
+
+    def extract(gw, pos):
+        out = np.zeros((P, 4), dtype=np.uint64)
+        top = 4 - nw_used
+        topbits = _window64(gw, 2 * pos)
+        if r < 64:
+            topbits = topbits >> np.uint64(64 - r)
+        out[:, top] = topbits
+        for w in range(1, nw_used):
+            out[:, top + w] = _window64(gw, 2 * pos + r + 64 * (w - 1))
+        return out
+
+    fwd = extract(gw_f, p)
+    # revcomp(seed at p) == forward seed at (L - seedsize - p) of the
+    # reverse-complemented sequence
+    rev = extract(gw_r, (L - seedsize) - p)
+
+    bad = (bases >= 4)
+    cum = np.zeros(L + 1, dtype=np.int32)
+    np.cumsum(bad, out=cum[1:])
+    valid = (cum[seedsize:seedsize + P] - cum[:P]) == 0
+
+    use_f = np.zeros(P, dtype=bool)
+    decided = np.zeros(P, dtype=bool)
+    for w in range(4):
+        lt = fwd[:, w] < rev[:, w]
+        gt = fwd[:, w] > rev[:, w]
+        use_f |= (~decided) & lt
+        decided |= lt | gt
+    use_f |= ~decided
+    canon = np.where(use_f[:, None], fwd, rev)
     return canon, valid

@@ -105,10 +105,20 @@ def unique_seeds(partitions, seedsize=51):
     }
 
 
-def get_seed_matches(seeds, refrseqs, seedsize=51):
-    """Exact genomic matches for canonical seeds: {seed: {(seqid, pos)}}."""
+def get_seed_matches(seeds, refrseqs, seedsize=51, refrfile=None):
+    """Exact genomic matches for canonical seeds: {seed: {(seqid, pos)}}.
+
+    With ``refrfile`` the index loads from (or persists to) its on-disk
+    cache next to the FASTA — the `bwa index` analog (the reference
+    builds its BWA index before the timed workflow, reference.py:35-51).
+    """
     kevlar_tpu.plog('[kevlar::localize] computing seed matches')
-    matches = SeedIndex(refrseqs, seedsize).lookup(seeds)
+    if refrfile:
+        from kevlar_tpu.reference import autoindex
+        index = autoindex(refrfile, seedsize, refrseqs=refrseqs)
+    else:
+        index = SeedIndex(refrseqs, seedsize)
+    matches = index.lookup(seeds)
     kevlar_tpu.plog('[kevlar::localize] found positions for '
                     '{} seeds'.format(len(matches)))
     return matches
@@ -142,7 +152,8 @@ def localize(partstream, refrfile, seedsize=51, delta=50, maxdiff=None,
 
     kevlar_tpu.plog('[kevlar::localize] loading reference sequences')
     refrseqs = seqio.parse_seq_dict(kevlar_tpu.open(refrfile, 'r'))
-    seed_matches = get_seed_matches(seeds, refrseqs, seedsize=seedsize)
+    seed_matches = get_seed_matches(seeds, refrseqs, seedsize=seedsize,
+                                    refrfile=refrfile)
     if not seed_matches:
         kevlar_tpu.plog('[kevlar::localize] WARNING: no reference matches')
         return

@@ -435,3 +435,24 @@ def query_batch(tables, bases, ksize, counter_bits=8, tablesize=None):
 def occupancy(tables):
     """Occupied buckets in table 0 (khmer-style n_occupied)."""
     return jnp.sum((tables[0] > 0).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=('counter_bits', 'tablesize'))
+def occupancy_packed(tables, counter_bits, tablesize):
+    """Occupied buckets in table 0 for (possibly bit-packed) tables.
+
+    A 4-byte device reduction instead of a full-table device->host mirror
+    pull — the FPR estimate after counting no longer costs a tablesize
+    transfer.  Sub-byte rows unpack PLANAR (layout-safe) and mask the
+    padding buckets past ``tablesize``.
+    """
+    row = unpack_row_planar(tables[0], counter_bits)
+    if counter_bits == 8:
+        inrange = jnp.arange(row.shape[0], dtype=jnp.int32) < tablesize
+    else:
+        cpb = COUNTERS_PER_BYTE[counter_bits]
+        nbytes = row.shape[0] // cpb
+        byte = jnp.arange(nbytes, dtype=jnp.int32)
+        bucket = jnp.concatenate([byte * cpb + p for p in range(cpb)])
+        inrange = bucket < tablesize
+    return jnp.sum(((row > 0) & inrange).astype(jnp.int32))

@@ -99,6 +99,31 @@ class SeedIndex:
             self._seqidx = np.zeros(0, dtype=np.int32)
             self._pos = np.zeros(0, dtype=np.int64)
 
+    def save(self, path):
+        """Persist the sorted key/position arrays (uncompressed npz —
+        load latency matters more than disk)."""
+        np.savez(path if path.endswith('.npz') else path,
+                 keys=self._keys, seqidx=self._seqidx, pos=self._pos,
+                 seqids=np.array(self._seqids), seedsize=self.seedsize)
+
+    @classmethod
+    def from_file(cls, path, refrseqs, backend=None):
+        """Load a persisted index; ``refrseqs`` still backs the exact
+        sequence verification in :meth:`lookup`."""
+        import os
+        data = np.load(path, allow_pickle=False)
+        obj = cls.__new__(cls)
+        obj.seedsize = int(data['seedsize'])
+        obj.refrseqs = refrseqs
+        obj.backend = (backend or
+                       os.environ.get('KEVLAR_SEED_BACKEND', 'host'))
+        obj._device_index = None
+        obj._seqids = [str(s) for s in data['seqids']]
+        obj._keys = data['keys']
+        obj._seqidx = data['seqidx']
+        obj._pos = data['pos']
+        return obj
+
     def _search_device(self, qkeys):
         """(start, count) per query key via the device binary search."""
         import jax.numpy as jnp
@@ -179,20 +204,55 @@ class SeedIndex:
 _index_cache = {}
 
 
-def autoindex(refrfile, seedsize=51):
-    """Build (and cache) the seed index for a reference FASTA file."""
-    import os.path
+def index_path(refrfile, seedsize):
+    """On-disk seed-index file for a reference FASTA (the `bwa index`
+    analog — the reference's quick start builds its BWA index before the
+    timed workflow, docs/quick-start.rst)."""
+    return '{}.kevseedidx{}.npz'.format(refrfile, seedsize)
+
+
+def autoindex(refrfile, seedsize=51, refrseqs=None):
+    """Build (or load) the seed index for a reference FASTA file.
+
+    Mirrors the reference's ``autoindex`` (reference.py:35-51: run
+    ``bwa index`` iff the index files are missing): the sorted key/pos
+    arrays persist next to the FASTA and later runs load them instead of
+    re-extracting and re-sorting every genome seed.  A stale index (older
+    than the FASTA) is rebuilt.
+    """
+    import os
     if not os.path.isfile(refrfile):
         raise KevlarRefrSeqNotFoundError(
             'reference file {:s} does not exist'.format(refrfile))
     key = (os.path.abspath(refrfile), seedsize)
-    if key not in _index_cache:
+    if key in _index_cache:
+        return _index_cache[key]
+    if refrseqs is None:
+        refrseqs = seqio.parse_seq_dict(kevlar_tpu.open(refrfile, 'r'))
+    idxfile = index_path(refrfile, seedsize)
+    index = None
+    if os.path.isfile(idxfile) and \
+            os.path.getmtime(idxfile) >= os.path.getmtime(refrfile):
+        try:
+            index = SeedIndex.from_file(idxfile, refrseqs)
+            kevlar_tpu.plog('[kevlar::reference] loaded seed index '
+                            '"{}"'.format(idxfile))
+        except Exception as exc:
+            kevlar_tpu.plog('[kevlar::reference] discarding unreadable '
+                            'seed index {}: {}'.format(idxfile, exc))
+            index = None
+    if index is None:
         kevlar_tpu.plog('[kevlar::reference] building seed index for '
                         '"{}" (seedsize {})'.format(refrfile, seedsize))
-        refrseqs = seqio.parse_seq_dict(kevlar_tpu.open(refrfile, 'r'))
-        _index_cache.clear()  # keep at most one genome index in memory
-        _index_cache[key] = SeedIndex(refrseqs, seedsize)
-    return _index_cache[key]
+        index = SeedIndex(refrseqs, seedsize)
+        try:
+            index.save(idxfile)
+        except OSError as exc:  # read-only genome dir: stay in-memory
+            kevlar_tpu.plog('[kevlar::reference] could not persist seed '
+                            'index: {}'.format(exc))
+    _index_cache.clear()  # keep at most one genome index in memory
+    _index_cache[key] = index
+    return index
 
 
 class ReferenceCutout:

@@ -133,13 +133,18 @@ class Sketch:
         return [self.tablesize] * self.ntables
 
     def n_occupied(self):
-        # host-side count over the lazily-synced mirror: occupancy feeds FPR
-        # logging only, and a dedicated device reduction would cost a jit
-        # compile per CLI process (minutes on remote-compile TPU tunnels).
         # Sketches loaded from file carry their occupancy as metadata, so
-        # loading never has to touch (or transfer) the tables at all.
+        # loading never touches (or transfers) the tables.  Freshly counted
+        # device sketches use a 4-byte device reduction (persistently
+        # cached compile) instead of pulling the full mirror; if the mirror
+        # is already synced (host backend, or post-save), count it there.
         if self._n_occupied is None:
-            self._n_occupied = int(np.count_nonzero(self._host()[0]))
+            if self.backend == 'device' and self._host_tables is None:
+                from kevlar_tpu.ops import sketch_ops
+                self._n_occupied = int(sketch_ops.occupancy_packed(
+                    self.tables, self.counter_bits, self.tablesize))
+            else:
+                self._n_occupied = int(np.count_nonzero(self._host()[0]))
         return self._n_occupied
 
     def n_unique_kmers(self):

@@ -104,13 +104,12 @@ def run_mark1(config, logstream=None):
     mask = count_mod.load_sample_seqfile(
         maskfiles, ksize, maskmem,
         maxfpr=config.get('mask', {}).get('max_fpr', 0.01),
-        count=False)
-    mask.save(path('mask.nt'))
+        count=False, outfile=path('mask.nt'), save_async=True)
 
     _stage('counting reference genome k-mers')
     refr_counts = count_mod.load_sample_seqfile(
         [refrfile], ksize, maskmem, maxfpr=1.0, count=True, smallcount=True,
-        outfile=path('refr.sct'))
+        outfile=path('refr.sct'), save_async=True)
 
     # -- step 1: per-sample masked counting -------------------------------
     # config key 'shards': hash-shard every sample sketch across that many
@@ -129,14 +128,15 @@ def run_mark1(config, logstream=None):
     case_counts = count_mod.load_sample_seqfile(
         case_cfg['fastx'], ksize, _mem(case_cfg.get('memory'), 1e6),
         maxfpr=case_cfg.get('max_fpr', 0.6), mask=sample_mask,
-        outfile=path('case.ct'), mesh=mesh)
+        outfile=path('case.ct'), mesh=mesh, save_async=True)
     ctrl_counts = []
     for i, ctrl in enumerate(ctrl_cfgs):
         _stage('counting control sample {}'.format(i))
         ctrl_counts.append(count_mod.load_sample_seqfile(
             ctrl['fastx'], ksize, _mem(ctrl.get('memory'), 1e6),
             maxfpr=ctrl.get('max_fpr', 0.05), mask=sample_mask,
-            outfile=path('control{}.ct'.format(i)), mesh=mesh))
+            outfile=path('control{}.ct'.format(i)), mesh=mesh,
+            save_async=True))
 
     # -- step 2: novel k-mer screen ---------------------------------------
     _stage('novel k-mer screen')
@@ -235,6 +235,12 @@ def run_mark1(config, logstream=None):
                 epsilon=sim.get('epsilon', 0.001), casemin=casemin,
                 ctrlmax=ctrlmax, samplelabels=labels):
             writer.write(call)
+
+    # join the async checkpoint writers before declaring the run complete
+    for sk in [mask, refr_counts, case_counts] + ctrl_counts:
+        thread = getattr(sk, '_save_thread', None)
+        if thread is not None:
+            thread.join()
 
     total = timer.stop()
     kevlar_tpu.plog('[workflow] complete in {:.1f}s; final calls in'.format(

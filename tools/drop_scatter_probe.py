@@ -61,11 +61,37 @@ def run(drop_frac, reps=5):
                 surviving_updates_per_s=round((N - ndrop) / max(wall, 1e-9)))
 
 
+def run_size(tablesize, reps=3):
+    """Scatter throughput vs table size: is the random RMW rate flat, or
+    does it degrade as the target outgrows on-chip locality?  (The bigsim
+    count stages ran 5x below the small-table roofline; a size-dependent
+    scatter rate would be the hardware-floor explanation.)"""
+    rng = np.random.default_rng(1)
+    idx = jnp.asarray(rng.integers(0, tablesize, size=N).astype(np.int32))
+    acc = jnp.zeros((tablesize,), jnp.int32)
+    acc = scatter(acc, idx)
+    acc.block_until_ready()
+    t0 = time.time()
+    for _ in range(reps):
+        acc = scatter(acc, idx)
+    acc.block_until_ready()
+    wall = (time.time() - t0) / reps
+    return dict(tablesize=tablesize, table_mb=round(tablesize * 4 / 1e6),
+                wall_s=round(wall, 4), updates_per_s=round(N / wall))
+
+
 def main():
-    rows = [run(f) for f in (0.0, 0.5, 0.8, 0.95)]
+    # every distinct shape costs a remote compile over the tunnel; keep
+    # the sweep small (drop fractions share one program)
+    rows = [run(f) for f in (0.0, 0.8)]
+    # int32 accumulator sizes: 100 MB (bench-scale), 500 MB (helium
+    # per-table), 1.37 GB (bigsim per-table)
+    sizes = [run_size(t) for t in
+             (25_000_000, 125_000_000, 343_200_000)]
     print(json.dumps({
         'suite': 'drop_scatter_probe', 'backend': jax.default_backend(),
         'n': N, 'tablesize': TABLESIZE, 'rows': rows,
+        'table_size_sweep': sizes,
         'verdict': ('dropped elements are skipped' if
                     rows[-1]['wall_s'] < 0.5 * rows[0]['wall_s'] else
                     'scatter cost is per input element'),
