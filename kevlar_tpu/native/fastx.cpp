@@ -36,6 +36,10 @@ struct FastxReader {
     // in exactly one row); the unemitted tail waits here
     int overlap = 0;
     std::string carry_name, carry_seq, carry_qual;
+    // read offset into carry_seq/carry_qual: advancing an index instead of
+    // re-copying the remainder keeps genome-scale chunking O(n) (substr of
+    // a 25 Mb record per 1 KB chunk was quadratic: ~600 G byte copies)
+    size_t carry_off = 0;
 
     bool getline(std::string &out) {
         if (have_pending) {
@@ -110,12 +114,28 @@ int kt_fastx_next_batch(void *h, int max_reads, int max_len, uint8_t *bases,
     int names_used = 0;
     std::string line, seq, name, qual;
     while (n < max_reads) {
+        const char *sdata;
+        const char *qdata = nullptr;
+        size_t qavail = 0;
+        int L;
+        bool carry_done = false;
         if (!r->carry_seq.empty()) {   // resume a chunked long record
             name = r->carry_name;
-            seq.swap(r->carry_seq);
-            qual.swap(r->carry_qual);
-            r->carry_seq.clear();
-            r->carry_qual.clear();
+            size_t avail = r->carry_seq.size() - r->carry_off;
+            sdata = r->carry_seq.data() + r->carry_off;
+            if (r->carry_qual.size() > r->carry_off) {
+                qdata = r->carry_qual.data() + r->carry_off;
+                qavail = r->carry_qual.size() - r->carry_off;
+            }
+            if ((int)avail > max_len) {
+                int ov = r->overlap < max_len - 1 ? r->overlap
+                                                  : max_len - 1;
+                r->carry_off += (size_t)(max_len - ov);
+                L = max_len;
+            } else {
+                L = (int)avail;        // final chunk; carry cleared below
+                carry_done = true;
+            }
         } else {
             if (!r->getline(line)) break;
             if (line.empty()) continue;
@@ -140,26 +160,45 @@ int kt_fastx_next_batch(void *h, int max_reads, int max_len, uint8_t *bases,
             } else {
                 return -1;  // unrecognized format
             }
-        }
-        int L = (int)seq.size();
-        if (L > max_len) {
-            // emit max_len now; park the remainder (with k-1 overlap so no
-            // k-mer straddles an emission boundary) for the next row
-            int ov = r->overlap < max_len - 1 ? r->overlap : max_len - 1;
-            int step = max_len - ov;
-            r->carry_name = name;
-            r->carry_seq = seq.substr(step);
-            if ((int)qual.size() > step) r->carry_qual = qual.substr(step);
-            L = max_len;
+            L = (int)seq.size();
+            if (L > max_len) {
+                // emit max_len now; park the whole record (swap, no copy)
+                // with a rolling offset; `overlap` (k-1) characters repeat
+                // so no k-mer straddles an emission boundary
+                int ov = r->overlap < max_len - 1 ? r->overlap
+                                                  : max_len - 1;
+                r->carry_name = name;
+                r->carry_seq.swap(seq);
+                r->carry_qual.swap(qual);
+                r->carry_off = (size_t)(max_len - ov);
+                sdata = r->carry_seq.data();
+                if (!r->carry_qual.empty()) {
+                    qdata = r->carry_qual.data();
+                    qavail = r->carry_qual.size();
+                }
+                L = max_len;
+            } else {
+                sdata = seq.data();
+                if (!qual.empty()) {
+                    qdata = qual.data();
+                    qavail = qual.size();
+                }
+            }
         }
         uint8_t *row = bases + (size_t)n * max_len;
-        for (int i = 0; i < L; ++i) row[i] = g_code[(uint8_t)seq[i]];
+        for (int i = 0; i < L; ++i) row[i] = g_code[(uint8_t)sdata[i]];
         lengths[n] = L;
         if (quals) {
             char *qrow = quals + (size_t)n * max_len;
-            int QL = (int)qual.size() < L ? (int)qual.size() : L;
-            std::memcpy(qrow, qual.data(), QL);
+            int QL = (int)qavail < L ? (int)qavail : L;
+            if (QL > 0) std::memcpy(qrow, qdata, QL);
             for (int i = QL; i < max_len; ++i) qrow[i] = 0;
+        }
+        if (carry_done) {
+            // emitted the final chunk of a carried record
+            r->carry_seq.clear();
+            r->carry_qual.clear();
+            r->carry_off = 0;
         }
         int need = (int)name.size() + 1;
         if (names_used + need <= names_cap) {
