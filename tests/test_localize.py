@@ -128,3 +128,42 @@ def test_seed_index_backend_env_override(genome, monkeypatch):
     monkeypatch.setenv('KEVLAR_SEED_BACKEND', 'bogus')
     with pytest.raises(ValueError):
         SeedIndex({'chr1': genome}, seedsize=51)
+
+
+def test_seed_index_persists_and_reloads(tmp_path):
+    """autoindex saves the sorted key arrays next to the FASTA (the
+    reference's bwa-index analog) and later calls load them; lookups are
+    identical either way, and a stale index rebuilds."""
+    import os
+    import time
+    import numpy as np
+    import random
+    from kevlar_tpu import reference as refmod
+    from kevlar_tpu import dna
+    from . import simdata
+
+    rng = random.Random(17)
+    genome = simdata.make_genome(rng, 5000)
+    fasta = tmp_path / 'g.fa'
+    fasta.write_text('>chr9\n' + genome + '\n')
+
+    refmod._index_cache.clear()
+    idx1 = refmod.autoindex(str(fasta), 51)
+    idxfile = refmod.index_path(str(fasta), 51)
+    assert os.path.exists(idxfile)
+
+    seeds = {dna.revcommin(genome[100:151]), dna.revcommin(genome[901:952])}
+    want = idx1.lookup(seeds)
+    assert all(len(v) >= 1 for v in want.values())
+
+    refmod._index_cache.clear()
+    idx2 = refmod.autoindex(str(fasta), 51)   # loads from disk
+    assert np.array_equal(idx1._keys, idx2._keys)
+    assert idx2.lookup(seeds) == want
+
+    # stale index (fasta newer) rebuilds without error
+    refmod._index_cache.clear()
+    now = time.time()
+    os.utime(str(fasta), (now + 10, now + 10))
+    idx3 = refmod.autoindex(str(fasta), 51)
+    assert idx3.lookup(seeds) == want
