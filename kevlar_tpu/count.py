@@ -212,6 +212,8 @@ def load_sample_seqfile(seqfiles, ksize, memory, maxfpr=0.2, count=True,
             sketch._save_thread = thread
         else:
             sketch.save(outfile)
+        from kevlar_tpu.sketch import register_saved
+        register_saved(outfile, sketch)
         message += ';\n    saved to "{:s}"'.format(outfile)
     kevlar_tpu.plog('[kevlar::count]', message)
     return sketch
@@ -258,6 +260,8 @@ def _load_sample_seqfile_khmer(seqfiles, ksize, memory, maxfpr, counter_bits,
         if not outfile.endswith(extensions):
             outfile += extensions[1]
         sketch.save(outfile)
+        from kevlar_tpu.sketch import register_saved
+        register_saved(outfile, sketch)
         message += ';\n    saved to "{:s}"'.format(outfile)
     kevlar_tpu.plog('[kevlar::count]', message)
     return sketch

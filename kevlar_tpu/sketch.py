@@ -452,11 +452,58 @@ def allocate_from_memory(ksize, memory, num_tables=4, counter_bits=8,
                   counter_bits=counter_bits, backend=backend)
 
 
+# in-process cache of sketches this process itself counted and saved:
+# multi-stage drivers (bigsim/bench tools calling several CLI mains in one
+# process) would otherwise reload multi-GB tables from disk and re-ship
+# them to the device one stage after writing them.  The file's
+# (mtime, size) is snapshotted on first use, so an externally modified
+# file always reloads from disk.
+_process_cache = {}
+
+
+def _stat_key(filename):
+    import os
+    try:
+        st = os.stat(filename)
+    except OSError:
+        return None
+    return (st.st_mtime_ns, st.st_size)
+
+
+def register_saved(filename, sketch):
+    """Remember a sketch this process just persisted to ``filename``
+    (possibly still being written by its save_async thread)."""
+    import os
+    _process_cache[os.path.abspath(filename)] = [sketch, None]
+
+
+def _cached_load(filename):
+    import os
+    path = os.path.abspath(filename)
+    entry = _process_cache.get(path)
+    if entry is None:
+        return None
+    sketch, key = entry
+    thread = getattr(sketch, '_save_thread', None)
+    if thread is not None:
+        thread.join()
+        sketch._save_thread = None
+    if key is None:
+        entry[1] = key = _stat_key(path)
+    if key is not None and key == _stat_key(path):
+        return sketch
+    del _process_cache[path]  # file changed on disk since we wrote it
+    return None
+
+
 def load(filename):
     extensions = tuple(COUNTER_BITS_BY_EXTENSION)
     if not filename.endswith(extensions):
         message = 'unable to determine sketch type from filename ' + filename
         raise KevlarSketchTypeError(message)
+    cached = _cached_load(filename)
+    if cached is not None:
+        return cached
     from kevlar_tpu import oxli
     if oxli.is_oxli_file(filename):
         # khmer-format sketch from the reference toolchain: load through

@@ -239,3 +239,28 @@ def test_consume_hashes_planar_subbyte_exact():
                 got = np.asarray(sketch_ops.unpack_counter_row(
                     got_tables[t], bits, tablesize))
                 assert np.array_equal(got, np.minimum(rounds * exp, maxc))
+
+
+def test_process_cache_serves_just_saved_sketch(tmp_path):
+    """A sketch counted and saved by this process is served from the
+    in-process cache on load (no disk round-trip); an externally
+    rewritten file invalidates it."""
+    import numpy as np
+    from kevlar_tpu import count as count_mod
+    from kevlar_tpu import sketch as sketch_mod
+
+    fq = tmp_path / 'r.fq'
+    seq = 'ACGTTGCAACGTTGCAACGTTGCAGGTCAAGGTCA'
+    fq.write_text('@r1\n{}\n+\n{}\n'.format(seq, 'I' * len(seq)))
+    out = str(tmp_path / 'r.ct')
+    sk = count_mod.load_sample_seqfile([str(fq)], 21, 4e6, outfile=out)
+    assert sketch_mod.load(out) is sk
+
+    # external rewrite -> cache drops, fresh object loads
+    sk2 = count_mod.load_sample_seqfile([str(fq)], 21, 4e6)
+    sk2.save(out)
+    import os, time
+    os.utime(out, (time.time() + 5, time.time() + 5))
+    loaded = sketch_mod.load(out)
+    assert loaded is not sk
+    assert np.array_equal(loaded._host(), sk2._host())
