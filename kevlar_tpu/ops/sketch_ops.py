@@ -245,9 +245,10 @@ def _scatter_hashes_i32(acc, h1, h2, valid, tablesize, counter_bits=8):
         idx = hashing.table_index(h1f, h2f, t, tablesize).astype(jnp.int32)
         idx = _planar_index(idx, counter_bits, nbytes)
         # invalid/masked k-mers go OUT OF BOUNDS and are dropped by the
-        # scatter instead of adding 0 — identical counts, and the dropped
-        # elements skip the serialized RMW (decisive for masked counting,
-        # where most k-mers are screened out)
+        # scatter instead of adding 0 — identical counts; measured
+        # cost-neutral on TPU v5e (XLA scatter charges per input element,
+        # tools/drop_scatter_probe.py) but cleaner and a real win on
+        # backends that skip dropped updates
         idx = jnp.where(vf, idx, planar_size)
         acc = acc.at[t, idx].add(1, mode='drop')
     return acc
@@ -276,9 +277,10 @@ def _consume_hashes(tables, h1, h2, valid, maxcount, counter_bits=8,
         idx = hashing.table_index(h1f, h2f, t, tablesize).astype(jnp.int32)
         idx = _planar_index(idx, counter_bits, nbytes)
         # invalid/masked k-mers scatter out of bounds (mode='drop') rather
-        # than adding 0: identical counts, but the dropped elements skip
-        # the serialized RMW — decisive for masked counting, where most
-        # k-mers are screened out
+        # than adding 0: identical counts; measured cost-neutral on TPU
+        # v5e (XLA scatter charges per input element,
+        # tools/drop_scatter_probe.py) but cleaner and a real win on
+        # backends that skip dropped updates
         idx = jnp.where(vf, idx, planar_size)
         inc = jnp.zeros((planar_size,), dtype=jnp.int32).at[idx].add(
             1, mode='drop')

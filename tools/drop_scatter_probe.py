@@ -50,11 +50,11 @@ def run(drop_frac, reps=5):
     idx = jnp.asarray(idx)
     acc = jnp.zeros((TABLESIZE,), jnp.int32)
     acc = scatter(acc, idx)          # compile + warm
-    acc.block_until_ready()
-    t0 = time.time()
+    _ = int(acc[0])                  # force materialisation (the tunnel
+    t0 = time.time()                 # backend's block_until_ready is lazy)
     for _ in range(reps):
         acc = scatter(acc, idx)
-    acc.block_until_ready()
+    checksum = int(acc[0]) + int(acc[TABLESIZE // 2])
     wall = (time.time() - t0) / reps
     return dict(drop_frac=drop_frac, wall_s=round(wall, 4),
                 total_updates_per_s=round(N / wall),
@@ -70,11 +70,11 @@ def run_size(tablesize, reps=3):
     idx = jnp.asarray(rng.integers(0, tablesize, size=N).astype(np.int32))
     acc = jnp.zeros((tablesize,), jnp.int32)
     acc = scatter(acc, idx)
-    acc.block_until_ready()
+    _ = int(acc[0])
     t0 = time.time()
     for _ in range(reps):
         acc = scatter(acc, idx)
-    acc.block_until_ready()
+    checksum = int(acc[0]) + int(acc[tablesize // 2])
     wall = (time.time() - t0) / reps
     return dict(tablesize=tablesize, table_mb=round(tablesize * 4 / 1e6),
                 wall_s=round(wall, 4), updates_per_s=round(N / wall))
