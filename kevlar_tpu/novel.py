@@ -347,7 +347,12 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
     # N+1 and its host->device transfer overlap the device screen of stack
     # N.  Results are collected FIFO, so output order stays input order.
     STACK_DEPTH = 8
-    MAX_INFLIGHT = 2
+    # in-flight device stacks: higher overlaps more H2D/compute at the
+    # cost of device memory for the queued batches (validated range 1-8)
+    import os as _os_inflight
+    MAX_INFLIGHT = int(_os_inflight.environ.get('KEVLAR_MAX_INFLIGHT', '3'))
+    if not 1 <= MAX_INFLIGHT <= 8:
+        raise ValueError('KEVLAR_MAX_INFLIGHT must be in [1, 8]')
     emit_text = (emit == 'text')
     pending = []
     from collections import deque
