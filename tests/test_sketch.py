@@ -264,3 +264,21 @@ def test_process_cache_serves_just_saved_sketch(tmp_path):
     loaded = sketch_mod.load(out)
     assert loaded is not sk
     assert np.array_equal(loaded._host(), sk2._host())
+
+
+def test_occupancy_packed_odd_tablesizes():
+    """The device occupancy reduction must match the host mirror count for
+    sub-byte tables whose size is not a multiple of the pack factor."""
+    import numpy as np
+    from kevlar_tpu.ops import sketch_ops
+    from kevlar_tpu.sketch import Sketch
+
+    rng = np.random.default_rng(12)
+    bases = rng.integers(0, 4, size=(8, 64)).astype(np.uint8)
+    for bits, size in ((8, 4099), (4, 4101), (1, 4103)):
+        sk = Sketch(21, size, 4, counter_bits=bits)
+        sk.consume_batch(bases)
+        got = int(sketch_ops.occupancy_packed(sk.tables, bits,
+                                              sk.tablesize))
+        want = int(np.count_nonzero(sk._host()[0]))
+        assert got == want, (bits, size, got, want)
