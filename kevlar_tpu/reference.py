@@ -101,10 +101,27 @@ class SeedIndex:
 
     def save(self, path):
         """Persist the sorted key/position arrays (uncompressed npz —
-        load latency matters more than disk)."""
-        np.savez(path if path.endswith('.npz') else path,
-                 keys=self._keys, seqidx=self._seqidx, pos=self._pos,
-                 seqids=np.array(self._seqids), seedsize=self.seedsize)
+        load latency matters more than disk).  Written to a temp file in
+        the same directory and atomically renamed so a concurrent reader
+        (autoindex in another process) never observes a partial file."""
+        import os
+        import tempfile
+        if not path.endswith('.npz'):
+            path += '.npz'  # np.savez would append it silently
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or '.',
+                                   suffix='.npz.tmp')
+        try:
+            with os.fdopen(fd, 'wb') as fh:
+                np.savez(fh, keys=self._keys, seqidx=self._seqidx,
+                         pos=self._pos, seqids=np.array(self._seqids),
+                         seedsize=self.seedsize)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     @classmethod
     def from_file(cls, path, refrseqs, backend=None):

@@ -242,11 +242,15 @@ def _use_batched_gather(case, controls, refr):
     Default: only when a sketch is mesh-sharded (its point queries are
     device programs, so per-call gathers would pay one dispatch per call).
     ``KEVLAR_SIMLIKE_BATCH=1/0`` forces/disables.
+    ``KEVLAR_SIMLIKE_DEVICE=1`` implies batch mode (device scoring rides
+    the batched-gather path; without this it would be silently inert).
     """
     import os
     forced = os.environ.get('KEVLAR_SIMLIKE_BATCH')
     if forced is not None:
         return forced == '1'
+    if os.environ.get('KEVLAR_SIMLIKE_DEVICE') == '1':
+        return True
     from kevlar_tpu.parallel.sharded import ShardedSketch
     return any(isinstance(s, ShardedSketch)
                for s in [case] + list(controls) + [refr])

@@ -457,8 +457,15 @@ def allocate_from_memory(ksize, memory, num_tables=4, counter_bits=8,
 # process) would otherwise reload multi-GB tables from disk and re-ship
 # them to the device one stage after writing them.  The file's
 # (mtime, size) is snapshotted on first use, so an externally modified
-# file always reloads from disk.
+# file always reloads from disk.  Contract: a cache-served sketch is the
+# SAME live object that was saved — callers must treat it as read-only
+# (mutating it would silently diverge from the on-disk file; every
+# in-repo consumer only queries).  The cache is bounded to the most
+# recent _PROCESS_CACHE_MAX entries (insertion-ordered dict) so
+# long-lived drivers counting many samples don't retain every multi-GB
+# table for the process lifetime.
 _process_cache = {}
+_PROCESS_CACHE_MAX = 4
 
 
 def _stat_key(filename):
@@ -474,7 +481,15 @@ def register_saved(filename, sketch):
     """Remember a sketch this process just persisted to ``filename``
     (possibly still being written by its save_async thread)."""
     import os
-    _process_cache[os.path.abspath(filename)] = [sketch, None]
+    path = os.path.abspath(filename)
+    _process_cache.pop(path, None)
+    _process_cache[path] = [sketch, None]
+    while len(_process_cache) > _PROCESS_CACHE_MAX:
+        evicted = next(iter(_process_cache))
+        thread = getattr(_process_cache[evicted][0], '_save_thread', None)
+        if thread is not None:
+            thread.join()
+        del _process_cache[evicted]
 
 
 def _cached_load(filename):

@@ -167,3 +167,24 @@ def test_seed_index_persists_and_reloads(tmp_path):
     os.utime(str(fasta), (now + 10, now + 10))
     idx3 = refmod.autoindex(str(fasta), 51)
     assert idx3.lookup(seeds) == want
+
+
+def test_seed_codes_stream_matches_generic_path():
+    """The 1-D L>4096 fast path (_seed_codes_stream) must produce the
+    exact codes/valid-mask of the generic pack loop — the localizer's
+    genome-side keys and the query-side generic keys must never diverge
+    (ADVICE r4: previously asserted only in a comment)."""
+    import numpy as np
+    from kevlar_tpu import dna
+    rng = np.random.default_rng(20260821)
+    L = 5000  # above the 4096 fast-path threshold
+    seq = rng.integers(0, 4, size=L).astype(np.uint8)
+    # sprinkle N-runs (code 4) to exercise the invalid mask
+    for start in (0, 137, 2048, 4090, L - 20):
+        seq[start:start + rng.integers(1, 8)] = 4
+    for seedsize in (17, 31, 51, 64, 128):
+        fast_codes, fast_valid = dna.seed_codes(seq, seedsize)
+        slow_codes, slow_valid = dna.seed_codes(seq[None, :], seedsize)
+        assert np.array_equal(fast_valid, slow_valid[0])
+        assert np.array_equal(fast_codes[fast_valid],
+                              slow_codes[0][slow_valid[0]])
