@@ -261,6 +261,12 @@ def _simlike_subparser(subparsers):
     sp.add_argument('--epsilon', metavar='E', type=float, default=0.001)
     sp.add_argument('--ctrl-abund-high', metavar='H', type=int, default=4)
     sp.add_argument('--case-abund-low', metavar='L', type=int, default=5)
+    sp.add_argument('--case-abund-gate', metavar='G', type=float,
+                    default=150.0,
+                    help='rescind a sole CaseAbundance filter when '
+                         'LIKESCORE exceeds G (the likelihood verdict '
+                         'overrides the run-length heuristic); 0 restores '
+                         'reference semantics [150.0]')
     sp.add_argument('--min-like-score', metavar='S', type=float, default=0.0)
     sp.add_argument('--drop-outliers', action='store_true')
     sp.add_argument('--ambig-thresh', metavar='A', type=int, default=10)

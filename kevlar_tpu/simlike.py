@@ -428,7 +428,7 @@ def _rank_partition(partitionid, calls, ambigthresh=10):
 def simlike(variants, case, controls, refr, mu=30.0, sigma=8.0, epsilon=0.001,
             casemin=6, ctrlmax=1, caseabundlow=5, ctrlabundhigh=4,
             samplelabels=None, fastmode=False, minlikescore=0.0,
-            dropoutliers=False, ambigthresh=10):
+            dropoutliers=False, ambigthresh=10, caseabundgate=150.0):
     if samplelabels is None:
         samplelabels = default_sample_labels(len(controls) + 1)
     by_partition = defaultdict(list)
@@ -444,6 +444,20 @@ def simlike(variants, case, controls, refr, mu=30.0, sigma=8.0, epsilon=0.001,
             park(call)
             return
         _score(call, bundle, mu, sigma, epsilon, precomputed=precomputed)
+        # Likelihood-gated CaseAbundance override (deviation from the
+        # reference, docs/deviations.md): the run-length heuristic
+        # (kevlar/simlike.py:284-290) kills real heterozygous indels whose
+        # ALT coverage dips below casemin through a local trough, even
+        # when the likelihood model finds decisive de novo evidence.  When
+        # CaseAbundance is the SOLE filter and LIKESCORE clears the gate,
+        # the likelihood verdict wins.  caseabundgate=0 restores exact
+        # reference semantics (measured: recovers 2/3 of all bigsim false
+        # negatives at FDR far below the reference's operating point —
+        # tools/miss_forensics.py).
+        if caseabundgate and caseabundgate > 0 and \
+                call.filters == frozenset({vf.CaseAbundance}) and \
+                call.attribute('LIKESCORE') > caseabundgate:
+            call.unfilter(vf.CaseAbundance)
         _annotate_sample_data(call, bundle, samplelabels)
         by_partition[call.attribute('PART')].append(call)
 
@@ -528,5 +542,6 @@ def main(args):
             ctrlmax=args.ctrl_max, caseabundlow=args.case_abund_low,
             ctrlabundhigh=args.ctrl_abund_high, samplelabels=labels,
             fastmode=args.fast_mode, minlikescore=args.min_like_score,
-            dropoutliers=args.drop_outliers, ambigthresh=args.ambig_thresh):
+            dropoutliers=args.drop_outliers, ambigthresh=args.ambig_thresh,
+            caseabundgate=getattr(args, 'case_abund_gate', 150.0)):
         writer.write(call)

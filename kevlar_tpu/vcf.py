@@ -98,6 +98,15 @@ class Variant:
         if isinstance(filtertype, VariantFilter):
             self._filters.add(filtertype)
 
+    def unfilter(self, filtertype):
+        """Rescind a previously applied filter (likelihood-gated
+        heuristic overrides; see simlike caseabundgate)."""
+        self._filters.discard(filtertype)
+
+    @property
+    def filters(self):
+        return frozenset(self._filters)
+
     # -- views --------------------------------------------------------------
 
     @property

@@ -367,3 +367,61 @@ def test_device_scoring_end_to_end(scoring_trio, monkeypatch):
         assert host[key][0] == dev[key][0]
         assert dev[key][1] == pytest.approx(host[key][1], rel=1e-4,
                                             abs=1e-2)
+
+
+def _trough_trio(rng=None):
+    """Case sketch whose ALT-window abundance has a below-casemin trough
+    (het coverage dip), controls empty: CaseAbundance fires while the
+    likelihood is decisively de novo."""
+    rng = rng or random.Random(777)
+    altwindow = ''.join(rng.choice('ACGT') for _ in range(2 * KSIZE - 1))
+    refrwindow = ''.join(rng.choice('ACGT') for _ in range(2 * KSIZE - 1))
+    case = Sketch(KSIZE, 1000003, 4, counter_bits=8)
+    for _ in range(10):
+        case.consume(altwindow)               # every k-mer ~10
+    for _ in range(10):
+        case.consume(altwindow[:KSIZE + 10])  # first 11 k-mers ~20
+    mom = Sketch(KSIZE, 1000003, 4, counter_bits=8)
+    dad = Sketch(KSIZE, 1000003, 4, counter_bits=8)
+    refr = Sketch(KSIZE, 1000003, 4, counter_bits=4)
+    refr.consume(refrwindow)
+    call = Variant('chr1', 100, 'A', 'C', ALTWINDOW=altwindow,
+                   REFRWINDOW=refrwindow, PART='9')
+    return call, case, [mom, dad], refr
+
+
+def test_case_abund_gate_rescues_likelihood_confirmed_call():
+    """A sole CaseAbundance filter is rescinded when LIKESCORE clears the
+    gate (the coverage-trough failure mode: run of below-casemin ALT
+    k-mers in a call the likelihood model confirms as de novo)."""
+    call, case, controls, refr = _trough_trio()
+    out = list(simlike(iter([call]), case, controls, refr, mu=20.0,
+                       sigma=6.0, casemin=15, caseabundlow=5,
+                       caseabundgate=50.0))
+    assert len(out) == 1
+    assert out[0].attribute('LIKESCORE') > 50.0
+    assert out[0].filterstr == 'PASS'
+    assert out[0].attribute('CALLCLASS') == '9'
+
+
+def test_case_abund_gate_zero_restores_reference_semantics():
+    call, case, controls, refr = _trough_trio()
+    out = list(simlike(iter([call]), case, controls, refr, mu=20.0,
+                       sigma=6.0, casemin=15, caseabundlow=5,
+                       caseabundgate=0.0))
+    assert out[0].filterstr == 'CaseAbundance'
+
+
+def test_case_abund_gate_spares_combined_filters():
+    """The gate only rescues a SOLE CaseAbundance filter: corroborating
+    evidence from another heuristic (here ControlAbundance) keeps the
+    call filtered regardless of score."""
+    call, case, controls, refr = _trough_trio()
+    altwindow = call.attribute('ALTWINDOW')
+    for _ in range(5):                 # 5 leading ALT k-mers abundant in mom
+        controls[0].consume(altwindow[:KSIZE + 4])
+    out = list(simlike(iter([call]), case, controls, refr, mu=20.0,
+                       sigma=6.0, casemin=15, caseabundlow=5, ctrlmax=1,
+                       ctrlabundhigh=4, caseabundgate=1e-9))
+    assert 'CaseAbundance' in out[0].filterstr
+    assert 'ControlAbundance' in out[0].filterstr
