@@ -142,6 +142,10 @@ def _gentrio_subparser(subparsers):
     sp.add_argument('--prefix', metavar='PFX', default='trio')
     sp.add_argument('--weights', metavar='WT',
                     default='snv=0.8,ins=0.1,del=0.1')
+    sp.add_argument('--indel-sizes', metavar='BANDS', default=None,
+                    help='comma-separated LO-HI size bands; each indel '
+                         'picks a band uniformly, then a size uniformly '
+                         'within it (default: uniform 5-350)')
     sp.add_argument('-s', '--seed', metavar='S', default=None, type=int)
     sp.add_argument('genome', help='genome to mutate')
 

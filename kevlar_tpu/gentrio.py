@@ -91,7 +91,32 @@ def mutate_deletion(sequence, position, length, ksize=31):
     return anchor + gone, anchor, refrwindow, altwindow
 
 
-def _random_variant(sequences, rng, weights, ksize):
+def _indel_size(rng, size_bands):
+    """Indel span: uniform 5-350 by default (the reference's gentrio
+    draw, kevlar/gentrio.py:169/175); with ``size_bands`` a band is
+    picked uniformly, then a size uniformly within it — the composition
+    of the reference's published bigsim truth set, whose mutsim
+    generators are size-parameterized per band (notebook/mutsim/src/
+    del.cpp:5-14, snv.cpp) and land ~250-290 variants in each of the
+    1-10/11-100/101-200/201-300/301-400 bp classes."""
+    if not size_bands:
+        return rng.randint(5, 350)
+    lo, hi = rng.choice(size_bands)
+    return rng.randint(lo, hi)
+
+
+def parse_size_bands(spec):
+    """``'1-10,11-100'`` -> [(1, 10), (11, 100)]; None/'' -> None."""
+    if not spec:
+        return None
+    bands = []
+    for part in spec.split(','):
+        lo, _, hi = part.partition('-')
+        bands.append((int(lo), int(hi or lo)))
+    return bands
+
+
+def _random_variant(sequences, rng, weights, ksize, size_bands=None):
     seqid = rng.choice(sorted(sequences.keys()))
     seq = sequences[seqid]
     position = rng.randint(0, len(seq) - 1)
@@ -100,11 +125,12 @@ def _random_variant(sequences, rng, weights, ksize):
     if kind == 'snv':
         alleles = mutate_snv(seq, position, rng.randint(1, 3), ksize)
     elif kind == 'ins':
-        span = rng.randint(5, 350)
+        span = _indel_size(rng, size_bands)
         source = rng.randint(0, len(seq))
         alleles = mutate_insertion(seq, position, span, source, rng, ksize)
     elif kind == 'del':
-        alleles = mutate_deletion(seq, position, rng.randint(5, 350), ksize)
+        alleles = mutate_deletion(seq, position, _indel_size(rng, size_bands),
+                                  ksize)
     else:
         raise ValueError('unknown mutation type {}'.format(kind))
     refr, alt, refrwindow, altwindow = alleles
@@ -112,10 +138,12 @@ def _random_variant(sequences, rng, weights, ksize):
                    REFRWINDOW=refrwindow)
 
 
-def generate_mutations(sequences, n=10, ksize=31, weights=DWEIGHTS, rng=None):
+def generate_mutations(sequences, n=10, ksize=31, weights=DWEIGHTS, rng=None,
+                       size_bands=None):
     rng = _as_rng(rng)
     for _ in range(n):
-        yield _random_variant(sequences, rng, weights, ksize)
+        yield _random_variant(sequences, rng, weights, ksize,
+                              size_bands=size_bands)
 
 
 def pick_inheritance_genotypes(rng):
@@ -129,14 +157,14 @@ def pick_inheritance_genotypes(rng):
 
 
 def simulate_variant_genotypes(sequences, ninh=20, ndenovo=10,
-                               weights=DWEIGHTS, rng=None):
+                               weights=DWEIGHTS, rng=None, size_bands=None):
     rng = _as_rng(rng)
     for variant in generate_mutations(sequences, n=ninh, weights=weights,
-                                      rng=rng):
+                                      rng=rng, size_bands=size_bands):
         variant.annotate('GT', ','.join(pick_inheritance_genotypes(rng)))
         yield variant
     for variant in generate_mutations(sequences, n=ndenovo, weights=weights,
-                                      rng=rng):
+                                      rng=rng, size_bands=size_bands):
         denovo_gt = (rng.choice(['0/1', '1/0']), '0/0', '0/0')
         variant.annotate('GT', ','.join(denovo_gt))
         yield variant
@@ -174,10 +202,11 @@ def _haplotype_pair(sequence, seqid, variants, individual):
 
 
 def gentrio(sequences, outstreams, ninh=20, ndenovo=10, weights=DWEIGHTS,
-            seed=None, upint=100, logstream=sys.stderr):
+            seed=None, upint=100, logstream=sys.stderr, size_bands=None):
     assert len(outstreams) == 3
     variants = list(simulate_variant_genotypes(
-        sequences, ninh=ninh, ndenovo=ndenovo, weights=weights, rng=seed))
+        sequences, ninh=ninh, ndenovo=ndenovo, weights=weights, rng=seed,
+        size_bands=size_bands))
     # apply bottom-up so positions stay valid through indel edits
     variants.sort(key=lambda v: v.position, reverse=True)
 
@@ -208,7 +237,9 @@ def main(args):
     for variant in gentrio(genomeseqs, outstreams, ninh=args.inherited,
                            ndenovo=args.de_novo,
                            weights=weights_str_to_dict(args.weights),
-                           seed=args.seed):
+                           seed=args.seed,
+                           size_bands=parse_size_bands(
+                               getattr(args, 'indel_sizes', None))):
         if vcfout:
             print(variant.vcf, file=vcfout)
     for stream in outstreams:

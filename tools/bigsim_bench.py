@@ -410,6 +410,12 @@ def main():
                     help='hg38-class repeat-rich genome (SINE/LINE-class '
                          'interspersed repeats, tandem repeats, segmental '
                          'duplications) instead of uniform-random sequence')
+    ap.add_argument('--class-balanced', action='store_true',
+                    help="match the reference bigsim truth composition: "
+                         "de novo variants ~uniform across the six "
+                         "evaluation classes (SNV + indel bands "
+                         "1-10/11-100/101-200/201-300/301-400 bp) instead "
+                         "of gentrio's SNV-heavy default weights")
     ap.add_argument('--workdir', default=None)
     ap.add_argument('--out', default=os.path.join(REPO,
                                                   'ACCURACY_BIGSIM.json'))
@@ -465,9 +471,16 @@ def main():
         print('# repeat composition:', repeat_stats, file=sys.stderr)
     else:
         simulate_genome('genome.fa', args.genome_size, args.seed)
-    timed_stage(['gentrio', '--vcf', 'truth.vcf', '--prefix', 'trio',
-                 '--inherited', args.inherited, '--de-novo', args.denovo,
-                 '--seed', args.seed, 'genome.fa'])
+    gentrio_args = ['gentrio', '--vcf', 'truth.vcf', '--prefix', 'trio',
+                    '--inherited', args.inherited, '--de-novo', args.denovo,
+                    '--seed', args.seed]
+    if args.class_balanced:
+        # kind weights 1:2.5:2.5 put 1/6 of variants in each class: SNVs
+        # get p=1/6, indels 5/6 spread uniformly over the five bands
+        gentrio_args += ['--weights', 'snv=1.0,ins=2.5,del=2.5',
+                         '--indel-sizes',
+                         '1-10,11-100,101-200,201-300,301-400']
+    timed_stage(gentrio_args + ['genome.fa'])
     rng = random.Random(args.seed)
     nreads = {}
     for who in ('proband', 'mother', 'father'):
