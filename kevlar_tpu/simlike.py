@@ -524,9 +524,17 @@ def main(args):
         labels = default_sample_labels(nsamples)
 
     kevlar_tpu.plog('[kevlar::simlike] Loading k-mer counts for each sample')
-    case = sketch.load(args.case)
-    controls = [sketch.load(c) for c in args.controls]
-    refr = sketch.load(args.refr)
+    # host-backend (copy-on-write mmap) loads: simlike only point-queries
+    # a few thousand windows, so shipping full multi-GB tables to the
+    # device (and the np.load memcpy itself) would dominate the stage
+    # wall.  Device/batched scoring modes need device-resident tables.
+    import os as _os
+    want_device = (_os.environ.get('KEVLAR_SIMLIKE_BATCH') == '1'
+                   or _os.environ.get('KEVLAR_SIMLIKE_DEVICE') == '1')
+    backend = 'device' if want_device else 'host'
+    case = sketch.load(args.case, backend=backend)
+    controls = [sketch.load(c, backend=backend) for c in args.controls]
+    refr = sketch.load(args.refr, backend=backend)
 
     writer = vcf.VCFWriter(kevlar_tpu.open(args.out, 'w'),
                            source='kevlar::simlike')

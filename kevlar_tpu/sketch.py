@@ -384,20 +384,71 @@ class Sketch:
             os.replace(filename + '.npz', filename)
 
     @classmethod
-    def load_file(cls, filename):
-        data = np.load(filename, allow_pickle=False)
+    def load_file(cls, filename, backend='device'):
+        data = _load_npz_mmap(filename)
+        if data is None:
+            data = np.load(filename, allow_pickle=False)
         tables = data['tables']
         sketch = cls(int(data['ksize']), int(data['tablesize']),
                      int(data['ntables']), int(data['counter_bits']),
-                     tables=tables)
+                     tables=tables, backend=backend)
         # the loaded host tables are identical to what just shipped to the
         # device: keep them as the host mirror so occupancy/FPR and host
         # point lookups never pull the tables back over the wire
         if sketch.backend != 'host':
             sketch._host_tables = np.asarray(tables, dtype=np.uint8)
-        if 'n_occupied' in getattr(data, 'files', ()):
+        if 'n_occupied' in data:
             sketch._n_occupied = int(data['n_occupied'])
         return sketch
+
+
+def _load_npz_mmap(filename):
+    """Zero-copy load of an uncompressed npz: map each array member
+    directly from the zip (copy-on-write, so callers may mutate without
+    touching the file).  ``np.load`` copies npz members through ~1 MB
+    zipfile chunks — 60 s of pure Python memcpy for a bigsim trio's
+    4.6 GB of sketches, vs ~0 here (pages fault in on first touch; the
+    host point-query path touches only the buckets it reads).  Returns
+    None when any member is compressed or otherwise unmappable (caller
+    falls back to np.load)."""
+    import zipfile
+    try:
+        zf = zipfile.ZipFile(filename)
+    except (OSError, zipfile.BadZipFile):
+        return None
+    out = {}
+    with zf, open(filename, 'rb') as fh:
+        for info in zf.infolist():
+            if info.compress_type != zipfile.ZIP_STORED:
+                return None
+            # the central directory's extra field can differ from the
+            # local header's: read the local header for the true offset
+            fh.seek(info.header_offset)
+            hdr = fh.read(30)
+            if len(hdr) < 30 or hdr[:4] != b'PK\x03\x04':
+                return None
+            nlen = int.from_bytes(hdr[26:28], 'little')
+            elen = int.from_bytes(hdr[28:30], 'little')
+            data_off = info.header_offset + 30 + nlen + elen
+            fh.seek(data_off)
+            try:
+                version = np.lib.format.read_magic(fh)
+                shape, fortran, dtype = \
+                    np.lib.format._read_array_header(fh, version)
+            except (ValueError, OSError):
+                return None
+            if dtype.hasobject:
+                return None
+            name = info.filename
+            name = name[:-4] if name.endswith('.npy') else name
+            if not shape:
+                # 0-d scalars: tiny, read directly
+                out[name] = np.fromfile(fh, dtype=dtype, count=1)[0]
+            else:
+                out[name] = np.memmap(filename, dtype=dtype, mode='c',
+                                      offset=fh.tell(), shape=shape,
+                                      order='F' if fortran else 'C')
+    return out
 
 
 def _device_mask_tables(mask):
@@ -511,7 +562,12 @@ def _cached_load(filename):
     return None
 
 
-def load(filename):
+def load(filename, backend='device'):
+    """Load a sketch file.  ``backend='host'`` keeps the counters as a
+    (copy-on-write memory-mapped) numpy array instead of shipping them to
+    the device — for point-query-only consumers (simlike) where a full
+    table upload would dominate the stage wall.  Ignored for khmer-format
+    files (their engine is host-side) and cache-served sketches."""
     extensions = tuple(COUNTER_BITS_BY_EXTENSION)
     if not filename.endswith(extensions):
         message = 'unable to determine sketch type from filename ' + filename
@@ -528,7 +584,7 @@ def load(filename):
         if filename.endswith(GRAPH_EXTENSIONS):
             sk.hash_mode = 'twobit'
         return sk
-    sketch = Sketch.load_file(filename)
+    sketch = Sketch.load_file(filename, backend=backend)
     ext = '.' + filename.split('.')[-1]
     expected_bits = COUNTER_BITS_BY_EXTENSION[ext]
     if sketch.counter_bits != expected_bits:
