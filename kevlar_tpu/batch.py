@@ -162,3 +162,43 @@ def pad_batch_rows(bases, batch_size):
     out = np.full((batch_size, L), 4, dtype=np.uint8)
     out[:B] = bases
     return out
+
+
+def prefetch_iter(iterable, depth=4):
+    """Iterate ``iterable`` on a background thread, ``depth`` items ahead.
+
+    Hides host-side parse/marshal latency behind downstream (device)
+    work — the TPU-side analog of khmer's threaded ReadParser overlap
+    (reference SURVEY §3.1).  Exceptions from the producer re-raise at
+    the consumption point; the thread is a daemon, so an abandoned
+    iterator never blocks interpreter exit.  KEVLAR_PREFETCH=0 disables
+    (returns the iterable unchanged).
+    """
+    import os
+    import queue
+    import threading
+    if os.environ.get('KEVLAR_PREFETCH', '1') == '0':
+        return iter(iterable)
+    q = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def produce():
+        try:
+            for item in iterable:
+                q.put(item)
+            q.put(_END)
+        except BaseException as exc:
+            q.put(exc)
+
+    threading.Thread(target=produce, daemon=True).start()
+
+    def consume():
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    return consume()

@@ -19,6 +19,112 @@ from kevlar_tpu.sketch import (
 )
 
 
+def _consume_seqfile_prefetch(sketch, seqfiles, mask, consume_masked,
+                              threshold, batch_size, wing, stack_depth=8):
+    """Threaded producer/consumer consume: parse + 2-bit pack + H2D run
+    one stack ahead of the device consume chain, so host marshalling and
+    transfer hide behind device scatter time (the wall becomes
+    max(device, host) instead of their sum).  Returns the read count, or
+    None when the native parser is unavailable (caller falls back to the
+    sequential Python loop).  Bit-identical to the sequential packed-wire
+    path: same stack shapes, same consume program.
+    """
+    import os
+    import queue
+    import threading
+    import time
+    import numpy as np
+    import jax
+    from kevlar_tpu.batch import native_base_batches, pack_bases
+    from kevlar_tpu.ops import sketch_ops
+    from kevlar_tpu.sketch import _device_mask_tables
+
+    try:
+        from kevlar_tpu import native  # noqa: F401  (probe availability)
+        native.FastxBatchReader
+    except (ImportError, AttributeError):
+        return None
+
+    timing = os.environ.get('KEVLAR_COUNT_TIMING') == '1'
+    walls = {'produce': 0.0, 'dispatch': 0.0, 'sync': 0.0}
+    mask_tables = _device_mask_tables(mask)
+    q = queue.Queue(maxsize=2)
+    producer_error = []
+
+    def marshal(entries):
+        stack = [b for b, _ in entries]
+        nreads = sum(n for _, n in entries)
+        while len(stack) < stack_depth:  # pad: one compiled stack shape
+            stack.append(np.full_like(stack[0], 4))
+        stacked = np.stack(stack)
+        packed, badmask = pack_bases(stacked)
+        # ship from the producer thread: the transfer overlaps the
+        # consume chain the main thread keeps dispatched
+        return (jax.device_put(packed), jax.device_put(badmask),
+                stacked.shape[-1], nreads)
+
+    def produce():
+        try:
+            pending = {}
+            for seqfile in seqfiles:
+                for bases, lengths in native_base_batches(
+                        seqfile, batch_size, overlap=wing):
+                    t0 = time.time() if timing else 0
+                    shape = bases.shape
+                    lst = pending.setdefault(shape, [])
+                    lst.append((np.asarray(bases), len(lengths)))
+                    if len(lst) >= stack_depth:
+                        item = marshal(pending.pop(shape))
+                        if timing:
+                            walls['produce'] += time.time() - t0
+                        q.put(item)
+                    elif timing:
+                        walls['produce'] += time.time() - t0
+            for shape in list(pending):
+                q.put(marshal(pending.pop(shape)))
+        except BaseException as exc:  # surfaced on the main thread
+            producer_error.append(exc)
+        finally:
+            q.put(None)
+
+    thread = threading.Thread(target=produce, daemon=True)
+    thread.start()
+    numreads = 0
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        packed, badmask, L, nreads = item
+        t0 = time.time() if timing else 0
+        sketch.tables = sketch_ops.consume_batch_stack_packed(
+            sketch.tables, packed, badmask, L=L,
+            ksize=sketch.ksize(), maxcount=sketch.maxcount,
+            counter_bits=sketch.counter_bits,
+            tablesize=sketch.tablesize,
+            mask_tables=mask_tables, has_mask=mask is not None,
+            mask_threshold=threshold, consume_masked=consume_masked,
+            mask_bits=mask.counter_bits if mask is not None else 8,
+            mask_tablesize=mask.tablesize if mask is not None else None)
+        sketch._invalidate()
+        if timing:
+            walls['dispatch'] += time.time() - t0
+        numreads += nreads
+    thread.join()
+    if producer_error:
+        if isinstance(producer_error[0], ImportError) and numreads == 0:
+            return None  # native parser unavailable: sequential fallback
+        raise producer_error[0]
+    if timing:
+        t0 = time.time()
+        jax.block_until_ready(sketch.tables)
+        walls['sync'] = time.time() - t0
+        kevlar_tpu.plog(
+            '[kevlar::count] timing (prefetch): produce(parse+pack+H2D, '
+            'overlapped) {produce:.1f}s, dispatch-blocked {dispatch:.1f}s, '
+            'final sync {sync:.1f}s'.format(**walls))
+    return numreads
+
+
 def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
                     maskmaxabund=0, numbands=None, band=None,
                     batch_size=DEFAULT_BATCH_SIZE):
@@ -36,6 +142,25 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
     threshold = 1 if consume_masked else maskmaxabund
     stack_depth = 8
     pending = {}
+
+    from kevlar_tpu.sketch import Sketch as _Sketch
+    mask_ok = mask is None or (isinstance(mask, _Sketch)
+                               and mask.backend == 'device')
+    packed_wire = (getattr(sketch, 'backend', 'device') == 'device'
+                   and hasattr(sketch, 'consume_batch_stack')
+                   and mask_ok and not numbands
+                   and os.environ.get('KEVLAR_PACKED_WIRE', '1') != '0')
+    if packed_wire and os.environ.get('KEVLAR_PREFETCH', '1') != '0':
+        # overlapped pipeline: a producer thread parses, packs, and ships
+        # batches to the device while this thread keeps the consume chain
+        # dispatched — the reference hides parse latency the same way with
+        # khmer's threaded ReadParser (SURVEY §3.1)
+        done = _consume_seqfile_prefetch(
+            sketch, seqfiles, mask=mask, consume_masked=consume_masked,
+            threshold=threshold, batch_size=batch_size, wing=wing,
+            stack_depth=stack_depth)
+        if done is not None:
+            return done
     # KEVLAR_COUNT_TIMING=1: decompose the stage wall into host parse/
     # marshal time vs time blocked inside dispatch calls (async device
     # work overlaps the parse; blocking here means the dispatch queue or

@@ -184,6 +184,11 @@ def novel(casestream, casecounts, controlcounts, ksize=31, abundscreen=None,
 
     if batchstream is None:
         batchstream = batch_mod.batches_from_records(casestream, batch_size)
+    if not hostsketch:
+        # parse/marshal one window ahead on a background thread so the
+        # device screen never waits on the parser (KEVLAR_PREFETCH=0
+        # disables; order is preserved)
+        batchstream = batch_mod.prefetch_iter(batchstream, depth=6)
 
     def decode_hits(rbatch, hits_np, hitab_np, discard):
         """Turn compacted hit indices into annotated Records."""
