@@ -126,9 +126,15 @@ class SeedIndex:
     @classmethod
     def from_file(cls, path, refrseqs, backend=None):
         """Load a persisted index; ``refrseqs`` still backs the exact
-        sequence verification in :meth:`lookup`."""
+        sequence verification in :meth:`lookup`.  Arrays are memory-mapped
+        (copy-on-write) when the npz is uncompressed: lookups only touch
+        O(log n) key pages, so neither load latency nor resident memory
+        scales with the genome."""
         import os
-        data = np.load(path, allow_pickle=False)
+        from kevlar_tpu.sketch import _load_npz_mmap
+        data = _load_npz_mmap(path)
+        if data is None:
+            data = np.load(path, allow_pickle=False)
         obj = cls.__new__(cls)
         obj.seedsize = int(data['seedsize'])
         obj.refrseqs = refrseqs

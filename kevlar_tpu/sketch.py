@@ -15,6 +15,8 @@ format is ``.npz`` (tables + metadata); the khmer-style filename extensions
 the binary layout is our own.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -371,7 +373,15 @@ class Sketch:
         # (every downstream stage's wall clock includes loading them) and
         # zlib decompression of the tables dominated load time.  Set
         # KEVLAR_COMPRESS_SKETCH=1 to trade load speed for disk.
+        # Device sketches stream table rows straight from device memory to
+        # the file (KEVLAR_STREAM_SAVE=0 disables): peak extra host memory
+        # is one unpacked table row instead of a persistent full-table
+        # mirror (the round-4 helium run held 5.9 GB of such mirrors).
         import os
+        if (self.backend != 'host'
+                and os.environ.get('KEVLAR_STREAM_SAVE', '1') != '0'
+                and os.environ.get('KEVLAR_COMPRESS_SKETCH') != '1'):
+            return self._save_streamed(filename)
         saver = np.savez_compressed \
             if os.environ.get('KEVLAR_COMPRESS_SKETCH') == '1' else np.savez
         saver(filename if filename.endswith('.npz') else filename,
@@ -382,6 +392,36 @@ class Sketch:
         # numpy appends .npz; rename to the requested (extension-typed) name
         if not filename.endswith('.npz') and os.path.exists(filename + '.npz'):
             os.replace(filename + '.npz', filename)
+
+    def _save_streamed(self, filename):
+        """Write the npz row by row from device memory: one
+        ``dynamic_slice`` program pulls each packed table row (compiled
+        once per table shape), the row unpacks chunk-wise on the host, and
+        the bytes append to an incrementally written (np.load-compatible,
+        ZIP_STORED) zip member.  No full-table host mirror is ever
+        materialised."""
+        import io
+        import zipfile
+        tables = self.tables           # snapshot: jax arrays are immutable
+        meta = dict(ksize=self._ksize, tablesize=self.tablesize,
+                    ntables=self.ntables, counter_bits=self.counter_bits,
+                    n_occupied=self.n_occupied())
+        with zipfile.ZipFile(filename, 'w', zipfile.ZIP_STORED) as zf:
+            for name, val in meta.items():
+                buf = io.BytesIO()
+                np.save(buf, np.asarray(val))
+                zf.writestr(name + '.npy', buf.getvalue())
+            info = zipfile.ZipInfo('tables.npy', date_time=(1980, 1, 1,
+                                                            0, 0, 0))
+            with zf.open(info, 'w', force_zip64=True) as fh:
+                header = {'descr': '|u1', 'fortran_order': False,
+                          'shape': (self.ntables, self.tablesize)}
+                np.lib.format.write_array_header_1_0(fh, header)
+                grab = _row_grab_fn(tables.shape)
+                for t in range(self.ntables):
+                    row = np.asarray(grab(tables, t))[0]
+                    fh.write(_np_unpack(row[None, :], self.counter_bits,
+                                        self.tablesize).tobytes())
 
     @classmethod
     def load_file(cls, filename, backend='device'):
@@ -400,6 +440,18 @@ class Sketch:
         if 'n_occupied' in data:
             sketch._n_occupied = int(data['n_occupied'])
         return sketch
+
+
+@functools.lru_cache(maxsize=8)
+def _row_grab_fn(shape):
+    """Jitted single-row dynamic_slice: the row index is traced, so every
+    row of every save shares one compiled program per table shape."""
+    import jax
+
+    @jax.jit
+    def grab(tables, t):
+        return jax.lax.dynamic_slice(tables, (t, 0), (1, shape[1]))
+    return grab
 
 
 def _load_npz_mmap(filename):
@@ -562,19 +614,31 @@ def _cached_load(filename):
     return None
 
 
-def load(filename, backend='device'):
+def load(filename, backend='device', cache=True):
     """Load a sketch file.  ``backend='host'`` keeps the counters as a
     (copy-on-write memory-mapped) numpy array instead of shipping them to
     the device — for point-query-only consumers (simlike) where a full
     table upload would dominate the stage wall.  Ignored for khmer-format
-    files (their engine is host-side) and cache-served sketches."""
+    files (their engine is host-side).  ``cache=False`` skips the
+    in-process cache (callers that specifically want the mmap-backed
+    on-disk view rather than a live device object)."""
+    import os
     extensions = tuple(COUNTER_BITS_BY_EXTENSION)
     if not filename.endswith(extensions):
         message = 'unable to determine sketch type from filename ' + filename
         raise KevlarSketchTypeError(message)
-    cached = _cached_load(filename)
-    if cached is not None:
-        return cached
+    if cache:
+        cached = _cached_load(filename)
+        if cached is not None:
+            return cached
+    else:
+        # still honor an in-flight async save of this very file
+        entry = _process_cache.get(os.path.abspath(filename))
+        if entry is not None:
+            thread = getattr(entry[0], '_save_thread', None)
+            if thread is not None:
+                thread.join()
+                entry[0]._save_thread = None
     from kevlar_tpu import oxli
     if oxli.is_oxli_file(filename):
         # khmer-format sketch from the reference toolchain: load through

@@ -222,6 +222,27 @@ def run_mark1(config, logstream=None):
     labels = [case_cfg.get('label', 'Case')] + \
         [c.get('label', 'Control{}'.format(i))
          for i, c in enumerate(ctrl_cfgs)]
+    # score from the on-disk checkpoints as host-backend mmaps (still in
+    # the page cache): the live device sketches would answer the few
+    # thousand point queries by pulling full-table host mirrors back over
+    # the wire.  Sharded (mesh) sketches stay device-resident — their
+    # queries are SPMD programs.
+    from kevlar_tpu import sketch as sketch_mod
+    if mesh is None:
+        for sk in [case_counts, refr_counts] + ctrl_counts:
+            thread = getattr(sk, '_save_thread', None)
+            if thread is not None:
+                thread.join()
+                sk._save_thread = None
+        sl_case = sketch_mod.load(path('case.ct'), backend='host',
+                                  cache=False)
+        sl_ctrls = [sketch_mod.load(path('control{}.ct'.format(i)),
+                                    backend='host', cache=False)
+                    for i in range(len(ctrl_counts))]
+        sl_refr = sketch_mod.load(path('refr.sct'), backend='host',
+                                  cache=False)
+    else:
+        sl_case, sl_ctrls, sl_refr = case_counts, ctrl_counts, refr_counts
     finalfile = path('calls.scored.sorted.vcf.gz')
     reader = vcf_mod.vcfstream([vcf_for_scoring])
     with kevlar_tpu.open(finalfile, 'w') as fh:
@@ -230,7 +251,7 @@ def run_mark1(config, logstream=None):
             writer.register_sample(label)
         writer.write_header()
         for call in simlike_mod.simlike(
-                reader, case_counts, ctrl_counts, refr_counts,
+                reader, sl_case, sl_ctrls, sl_refr,
                 mu=sim.get('mu', 30.0), sigma=sim.get('sigma', 8.0),
                 epsilon=sim.get('epsilon', 0.001), casemin=casemin,
                 ctrlmax=ctrlmax, samplelabels=labels):
