@@ -293,16 +293,12 @@ def align_batch_pallas(target_seqs, query_seqs, match=1, mismatch=2,
         gapopen=gapopen, gapextend=gapextend, interpret=interpret)
     # device traceback: only O(B*(T+Q)) op bytes cross the link, never
     # the packed [B, ndiag/6, T] direction tensor
-    from kevlar_tpu.ops.align_ops import _cigar_from_ops
+    from kevlar_tpu.ops.align_ops import _cigars_from_ops_batch
     ops_rev, exit_i, exit_j = _traceback_packed(
         zdiags, jnp.asarray(tlens), jnp.asarray(qlens), T=T, Q=Q)
     scores = np.asarray(scores)
     ops_rev = np.asarray(ops_rev)
-    exit_i = np.asarray(exit_i)
-    exit_j = np.asarray(exit_j)
 
-    results = []
-    for b in range(B):
-        cigar = _cigar_from_ops(ops_rev[b], int(exit_i[b]), int(exit_j[b]))
-        results.append((cigar, int(scores[b])))
-    return results
+    cigars = _cigars_from_ops_batch(ops_rev[:B], np.asarray(exit_i)[:B],
+                                    np.asarray(exit_j)[:B])
+    return [(cigars[b], int(scores[b])) for b in range(B)]

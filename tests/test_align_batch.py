@@ -139,3 +139,30 @@ def test_big_batches_chunk_within_memory_budget(monkeypatch):
                         16 * (128 + 128 - 1) * 128)
     chunked = align_ops.align_batch(ts, qs)
     assert chunked == full
+
+
+def test_batch_cigar_decode_matches_scalar_reference():
+    """_cigars_from_ops_batch (vectorised RLE) must emit exactly what the
+    per-step _cigar_from_ops loop emits, including leading-gap merges and
+    empty/all-inactive rows."""
+    import numpy as np
+    from kevlar_tpu.ops.align_ops import (_cigar_from_ops,
+                                          _cigars_from_ops_batch)
+    rng = np.random.default_rng(20260821)
+    B, S = 256, 64
+    ops = np.full((B, S), 3, dtype=np.uint8)
+    for b in range(B):
+        n = int(rng.integers(0, S + 1))
+        # runs of ops 0/1/2 (monotone-inactive 3 tail)
+        pos = 0
+        while pos < n:
+            run = int(rng.integers(1, 9))
+            ops[b, pos:pos + run] = int(rng.integers(0, 3))
+            pos += run
+        ops[b, n:] = 3
+    exit_i = rng.integers(-1, 5, size=B).astype(np.int32)
+    exit_j = rng.integers(-1, 5, size=B).astype(np.int32)
+    got = _cigars_from_ops_batch(ops, exit_i, exit_j)
+    for b in range(B):
+        want = _cigar_from_ops(ops[b], int(exit_i[b]), int(exit_j[b]))
+        assert got[b] == want, (b, got[b], want)
