@@ -294,6 +294,8 @@ def load_sample_seqfile(seqfiles, ksize, memory, maxfpr=0.2, count=True,
         from kevlar_tpu.parallel import ShardedSketch
         from kevlar_tpu.sketch import BUCKETS_PER_BYTE
         tablesize = int(memory) // 4 * BUCKETS_PER_BYTE[counter_bits]
+        if tablesize % 2 == 0:
+            tablesize -= 1  # odd, matching allocate_from_memory (banding)
         # exact hash space: abundances (and the saved counttable) are
         # bit-identical to the unsharded stage at the same --memory
         sketch = ShardedSketch(mesh, ksize, max(tablesize, 1), 4,

@@ -532,9 +532,18 @@ def main(args):
     want_device = (_os.environ.get('KEVLAR_SIMLIKE_BATCH') == '1'
                    or _os.environ.get('KEVLAR_SIMLIKE_DEVICE') == '1')
     backend = 'device' if want_device else 'host'
-    case = sketch.load(args.case, backend=backend)
-    controls = [sketch.load(c, backend=backend) for c in args.controls]
-    refr = sketch.load(args.refr, backend=backend)
+
+    def load_ct(spec):
+        # comma-separated per-band tables (count --num-bands) score
+        # through the host BandedSketchView — each k-mer is answered by
+        # its owning band's (mmapped) table
+        if ',' in spec:
+            return sketch.BandedSketchView.load(spec.split(','))
+        return sketch.load(spec, backend=backend)
+
+    case = load_ct(args.case)
+    controls = [load_ct(c) for c in args.controls]
+    refr = load_ct(args.refr)
 
     writer = vcf.VCFWriter(kevlar_tpu.open(args.out, 'w'),
                            source='kevlar::simlike')

