@@ -18,10 +18,18 @@ from kevlar_tpu.varmap import VariantMapping
 
 def alignments_to_report(alignments):
     """The interpretable alignment(s) with the optimal score (all of them,
-    when interpretable ones exist; otherwise everything ties)."""
+    when interpretable ones exist; otherwise everything ties).
+
+    Canonically interpretable alignments (snv/indel shapes — the
+    reference's report pool, call.py alignments_to_report) always take
+    priority; 'complex' alignments form a RESCUE tier used only when no
+    canonical shape exists anywhere (a high-scoring repeat-locus
+    alignment must not displace the true locus's clean call)."""
     if len(alignments) <= 1:
         return alignments
-    pool = [aln for aln in alignments if aln.vartype is not None]
+    pool = [aln for aln in alignments if aln.vartype in ('snv', 'indel')]
+    if not pool:
+        pool = [aln for aln in alignments if aln.vartype is not None]
     if not pool:
         pool = alignments
     best = max(aln.score for aln in pool)

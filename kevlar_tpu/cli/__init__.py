@@ -267,10 +267,16 @@ def _simlike_subparser(subparsers):
     sp.add_argument('--case-abund-low', metavar='L', type=int, default=5)
     sp.add_argument('--case-abund-gate', metavar='G', type=float,
                     default=150.0,
-                    help='rescind a sole CaseAbundance filter when '
-                         'LIKESCORE exceeds G (the likelihood verdict '
-                         'overrides the run-length heuristic); 0 restores '
+                    help='rescind sole CaseAbundance/Homopolymer filters '
+                         'when LIKESCORE exceeds G (the likelihood verdict '
+                         'overrides the heuristics); 0 restores '
                          'reference semantics [150.0]')
+    sp.add_argument('--shared-kmer-min', metavar='S', type=int,
+                    default=None,
+                    help='mask ALT-window k-mers with abundance >= S in '
+                         'EVERY control (family background cannot carry '
+                         'de novo evidence; only a minority of the window '
+                         'may be masked); 0 disables [case-min]')
     sp.add_argument('--min-like-score', metavar='S', type=float, default=0.0)
     sp.add_argument('--drop-outliers', action='store_true')
     sp.add_argument('--ambig-thresh', metavar='A', type=int, default=10)

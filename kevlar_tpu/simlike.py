@@ -188,7 +188,7 @@ class _AbundanceBundle:
 
     @classmethod
     def gather(cls, altseq, refrseq, casecounts, ctrlcounts, refrcounts,
-               dropoutliers=False):
+               dropoutliers=False, sharedmin=0):
         """Mask out k-mers present in the reference genome; optionally drop
         per-sample outliers (> 20 from the sample mean)."""
         raw = np.asarray(casecounts.get_kmer_counts(altseq))
@@ -196,21 +196,55 @@ class _AbundanceBundle:
         case = raw[novel]
         controls = [np.asarray(c.get_kmer_counts(altseq))[novel]
                     for c in ctrlcounts]
+        keep = cls._family_background_mask(controls, sharedmin)
+        if len(altseq) == len(refrseq):  # SNV/MNV: per-k-mer copy number
+            refrcopies = np.asarray(
+                refrcounts.get_kmer_counts(refrseq))[novel]
+            if keep is not None:
+                refrcopies = refrcopies[keep]
+            refrcopies = list(refrcopies)
+        else:  # indel: alleles differ in length, copy number undefined
+            refrcopies = [None] * (len(case) if keep is None
+                                   else int(keep.sum()))
+        if keep is not None:
+            case = case[keep]
+            controls = [c[keep] for c in controls]
         if dropoutliers:
             case = cls._drop_outliers(case)
             controls = [cls._drop_outliers(c) for c in controls]
-        if len(altseq) == len(refrseq):  # SNV/MNV: per-k-mer copy number
-            refrcopies = list(np.asarray(
-                refrcounts.get_kmer_counts(refrseq))[novel])
-        else:  # indel: alleles differ in length, copy number undefined
-            refrcopies = [None] * len(case)
-        return cls(case, controls, refrcopies, len(raw) - len(case))
+        return cls(case, controls, refrcopies, int(len(raw) - len(case)))
 
     @staticmethod
     def _drop_outliers(abunds):
         if len(abunds) == 0:
             return abunds
         return abunds[np.abs(abunds - abunds.mean()) < 20]
+
+    @staticmethod
+    def _family_background_mask(controls, minabund, maxfrac=0.34):
+        """Keep-mask dropping k-mers abundant in EVERY control.
+
+        Such k-mers are family background — an inherited allele or repeat
+        context overlapping the ALT window — and cannot carry de novo
+        evidence; the de novo model's expectation of ~zero control
+        abundance lets a single one swing LLDN below LLIH for an
+        otherwise decisive call (the dominant negative-LIKESCORE
+        false-negative mode in bigsim forensics).  Only a minority
+        (<= maxfrac) of the window may be masked: a window that is mostly
+        background keeps it and scores inherited, as it should.
+        Deviation from the reference (docs/migrating.md): the reference
+        only masks REFERENCE-genome k-mers (simlike.py:51-96), which
+        cannot catch indel-window background.  ``minabund=0`` disables.
+        Returns None when nothing is masked."""
+        if not minabund or len(controls) < 2 or len(controls[0]) == 0:
+            return None
+        shared = np.ones(len(controls[0]), dtype=bool)
+        for c in controls:
+            shared &= np.asarray(c) >= minabund
+        n = int(shared.sum())
+        if n == 0 or n > maxfrac * len(shared):
+            return None
+        return ~shared
 
     def aslists(self):
         return [list(map(int, self.case))] + \
@@ -257,7 +291,7 @@ def _use_batched_gather(case, controls, refr):
 
 
 def gather_bundles_batched(windowpairs, case, controls, refr,
-                           dropoutliers=False):
+                           dropoutliers=False, sharedmin=0):
     """One :class:`_AbundanceBundle` per (altseq, refrseq) pair, with every
     sample's window queries batched into bucketed device dispatches.
 
@@ -310,14 +344,23 @@ def gather_bundles_batched(windowpairs, case, controls, refr,
             casevec = percounts[0][j][:P][novel]
             ctrlvecs = [percounts[1 + c][j][:P][novel]
                         for c in range(len(controls))]
+            keep = _AbundanceBundle._family_background_mask(
+                ctrlvecs, sharedmin)
+            if len(alt) == len(refrseq):
+                refrcopies = refrwin_counts[i][:P][novel]
+                if keep is not None:
+                    refrcopies = refrcopies[keep]
+                refrcopies = list(refrcopies)
+            else:
+                refrcopies = [None] * (len(casevec) if keep is None
+                                       else int(keep.sum()))
+            if keep is not None:
+                casevec = casevec[keep]
+                ctrlvecs = [c[keep] for c in ctrlvecs]
             if dropoutliers:
                 casevec = _AbundanceBundle._drop_outliers(casevec)
                 ctrlvecs = [_AbundanceBundle._drop_outliers(c)
                             for c in ctrlvecs]
-            if len(alt) == len(refrseq):
-                refrcopies = list(refrwin_counts[i][:P][novel])
-            else:
-                refrcopies = [None] * len(casevec)
             bundles[i] = _AbundanceBundle(casevec, ctrlvecs, refrcopies,
                                           P - len(casevec))
     return bundles
@@ -428,7 +471,10 @@ def _rank_partition(partitionid, calls, ambigthresh=10):
 def simlike(variants, case, controls, refr, mu=30.0, sigma=8.0, epsilon=0.001,
             casemin=6, ctrlmax=1, caseabundlow=5, ctrlabundhigh=4,
             samplelabels=None, fastmode=False, minlikescore=0.0,
-            dropoutliers=False, ambigthresh=10, caseabundgate=150.0):
+            dropoutliers=False, ambigthresh=10, caseabundgate=150.0,
+            sharedkmermin=None):
+    if sharedkmermin is None:
+        sharedkmermin = casemin  # family-background bar: solidly present
     if samplelabels is None:
         samplelabels = default_sample_labels(len(controls) + 1)
     by_partition = defaultdict(list)
@@ -444,20 +490,25 @@ def simlike(variants, case, controls, refr, mu=30.0, sigma=8.0, epsilon=0.001,
             park(call)
             return
         _score(call, bundle, mu, sigma, epsilon, precomputed=precomputed)
-        # Likelihood-gated CaseAbundance override (deviation from the
-        # reference, docs/deviations.md): the run-length heuristic
-        # (kevlar/simlike.py:284-290) kills real heterozygous indels whose
-        # ALT coverage dips below casemin through a local trough, even
-        # when the likelihood model finds decisive de novo evidence.  When
-        # CaseAbundance is the SOLE filter and LIKESCORE clears the gate,
+        # Likelihood-gated heuristic override (deviation from the
+        # reference, docs/migrating.md): the CaseAbundance run-length
+        # heuristic (kevlar/simlike.py:284-290) kills real heterozygous
+        # indels whose ALT coverage dips below casemin through a local
+        # trough, and the score-blind Homopolymer flank check
+        # (kevlar/varmap.py:163-173) kills real large indels whose right
+        # flank merely opens with a base run — both even when the
+        # likelihood model finds decisive de novo evidence.  When those
+        # heuristics are the ONLY filters and LIKESCORE clears the gate,
         # the likelihood verdict wins.  caseabundgate=0 restores exact
         # reference semantics (measured: recovers 2/3 of all bigsim false
         # negatives at FDR far below the reference's operating point —
         # tools/miss_forensics.py).
-        if caseabundgate and caseabundgate > 0 and \
-                call.filters == frozenset({vf.CaseAbundance}) and \
+        gate_eligible = frozenset({vf.CaseAbundance, vf.Homopolymer})
+        if caseabundgate and caseabundgate > 0 and call.filters and \
+                call.filters <= gate_eligible and \
                 call.attribute('LIKESCORE') > caseabundgate:
-            call.unfilter(vf.CaseAbundance)
+            for filt in gate_eligible:
+                call.unfilter(filt)
         _annotate_sample_data(call, bundle, samplelabels)
         by_partition[call.attribute('PART')].append(call)
 
@@ -476,7 +527,8 @@ def simlike(variants, case, controls, refr, mu=30.0, sigma=8.0, epsilon=0.001,
                 slots.append(len(pairs))
                 pairs.append((call.window, call.refrwindow))
         bundles = gather_bundles_batched(pairs, case, controls, refr,
-                                         dropoutliers=dropoutliers)
+                                         dropoutliers=dropoutliers,
+                                         sharedmin=sharedkmermin)
         scores = None
         if _use_device_scoring(controls):
             from kevlar_tpu.ops import simlike_ops
@@ -497,7 +549,7 @@ def simlike(variants, case, controls, refr, mu=30.0, sigma=8.0, epsilon=0.001,
                 continue
             process(call, _AbundanceBundle.gather(
                 call.window, call.refrwindow, case, controls, refr,
-                dropoutliers=dropoutliers))
+                dropoutliers=dropoutliers, sharedmin=sharedkmermin))
 
     ranked = []
     for partitionid, calls in by_partition.items():
@@ -560,5 +612,6 @@ def main(args):
             ctrlabundhigh=args.ctrl_abund_high, samplelabels=labels,
             fastmode=args.fast_mode, minlikescore=args.min_like_score,
             dropoutliers=args.drop_outliers, ambigthresh=args.ambig_thresh,
-            caseabundgate=getattr(args, 'case_abund_gate', 150.0)):
+            caseabundgate=getattr(args, 'case_abund_gate', 150.0),
+            sharedkmermin=getattr(args, 'shared_kmer_min', None)):
         writer.write(call)

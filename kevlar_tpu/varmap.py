@@ -26,8 +26,14 @@ def _classify(blocks):
     """Structural CIGAR classification.
 
     Returns (vartype, lead, left, gap, right): vartype in {'snv', 'indel',
-    None}; lead is the leading indel block if any; for 'snv' ``left`` is
-    the M block; for 'indel' (left, gap, right) are the M/indel/M core.
+    'complex', None}; lead is the leading indel block if any; for 'snv'
+    ``left`` is the M block; for 'indel' (left, gap, right) are the
+    M/indel/M core.  'complex' marks CIGARs beyond the reference's
+    callable patterns (kevlar/varmap.py:49-54 regexes) that still contain
+    at least one M-flanked interior indel — repeat-context alignments
+    accumulate small spurious gap blocks around the true event, and the
+    reference no-calls ALL of them (InscrutableCigar); the complex caller
+    picks the candidate with novel-k-mer support instead.
     """
     lead = blocks[0] if blocks and blocks[0].type != 'M' else None
     core = blocks[1:] if lead is not None else list(blocks)
@@ -38,6 +44,10 @@ def _classify(blocks):
         return 'snv', lead, core[0], None, None
     if shape in ('MDM', 'MIM'):
         return 'indel', lead, core[0], core[1], core[2]
+    for i in range(1, len(blocks) - 1):
+        if blocks[i].type in 'ID' and blocks[i - 1].type == 'M' \
+                and blocks[i + 1].type == 'M':
+            return 'complex', lead, None, None, None
     return None, lead, None, None, None
 
 
@@ -113,13 +123,13 @@ class VariantMapping:
     @property
     def offset(self):
         """Target positions consumed by the leading block."""
-        if self.vartype is None:
-            return None
+        if self.vartype not in ('snv', 'indel'):
+            return None  # complex mappings track offsets per candidate
         return self._lead.length if self._lead else 0
 
     @property
     def targetshort(self):
-        if self.vartype is None:
+        if self.vartype not in ('snv', 'indel'):
             return None
         return self._lead is not None and self._lead.type == 'I'
 
@@ -192,6 +202,8 @@ class VariantMapping:
                 yield self._passenger_checked(call)
         elif self.vartype == 'indel':
             yield from self._indel_and_flanks(ksize, mindist)
+        elif self.vartype == 'complex':
+            yield from self.call_complex(ksize)
         else:
             nocall = Variant(
                 self.seqid, self.pos, '.', '.', CONTIG=self.varseq,
@@ -257,6 +269,63 @@ class VariantMapping:
                 CIGAR=self.cigar, KSW2=str(self.score),
                 IKMERS=str(n_ikmers_present(self.contig, altwindow)),
                 ALTWINDOW=altwindow, REFRWINDOW=refrwindow)
+
+    def call_complex(self, ksize):
+        """Best-supported interior indel of a complex CIGAR.
+
+        Every M-flanked interior I/D block is a candidate; each scores by
+        the number of the contig's novel k-mers present in its would-be
+        ALT window — the defining property of the true event (spurious
+        repeat-noise gaps have none).  The winner is called exactly like
+        the canonical M/gap/M indel; zero support anywhere falls back to
+        the reference's InscrutableCigar no-call.  The call still faces
+        the passenger/homopolymer screens here and the trio likelihood in
+        simlike.  Extension beyond reference kevlar/varmap.py:49-54
+        (docs/migrating.md)."""
+        wing = ksize - 1
+        blocks = self.tok.blocks
+        candidates = []
+        tconsumed = 0
+        for i, block in enumerate(blocks):
+            if 0 < i < len(blocks) - 1 and block.type in 'ID' \
+                    and blocks[i - 1].type == 'M' \
+                    and blocks[i + 1].type == 'M':
+                left, right = blocks[i - 1], blocks[i + 1]
+                altwindow = (left.query[-wing:] + (block.query or '') +
+                             right.query[:wing])
+                support = n_ikmers_present(self.contig, altwindow)
+                if support > 0:
+                    refrwindow = (left.target[-wing:] +
+                                  (block.target or '') +
+                                  right.target[:wing])
+                    refr = left.target[-1] + (block.target or '')
+                    alt = left.query[-1] + (block.query or '')
+                    candidates.append((support, tconsumed, refr, alt,
+                                       altwindow, refrwindow, right))
+            tconsumed += len(block.target or '')
+        if not candidates:
+            nocall = Variant(
+                self.seqid, self.pos, '.', '.', CONTIG=self.varseq,
+                CIGAR=self.cigar, KSW2=str(self.score))
+            nocall.filter(vf.InscrutableCigar)
+            yield nocall
+            return
+        # every supported candidate is emitted (a repeat can hold the same
+        # event twice in one alignment): the partition's likelihood
+        # ranking and CALLCLASS compaction keep the real one
+        for (support, anchor, refr, alt, altwindow, refrwindow,
+             right) in candidates:
+            call = Variant(
+                self.seqid, self.cutout.local_to_global(anchor) - 1, refr,
+                alt, CONTIG=self.varseq, CIGAR=self.cigar,
+                KSW2=str(self.score), IKMERS=str(support),
+                ALTWINDOW=altwindow, REFRWINDOW=refrwindow)
+            if self.is_passenger(call):
+                call.filter(vf.PassengerVariant)
+            if self.do_homopolymer_filter and len(right.target) >= 5 \
+                    and right.target[0] * 5 in right.target[:7]:
+                call.filter(vf.Homopolymer)
+            yield call
 
     def call_indel(self, ksize):
         """The indel call: alleles anchored on the last left-flank base,

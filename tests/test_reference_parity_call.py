@@ -178,12 +178,17 @@ def _homopolymer_sketches():
 def test_call_homopolymers_mixed_results():
     """Scored homopolymer candidates split into negative control /
     borderline PASS / filtered positive (reference test_call.py:327-371;
-    exercises khmer-built .sct abundance queries)."""
+    exercises khmer-built .sct abundance queries).
+
+    caseabundgate=0 pins the reference's score-blind Homopolymer
+    outcome; the default likelihood gate (docs/migrating.md) would
+    rescue the high-LIKESCORE positive and is covered in
+    tests/test_simlike.py."""
     from kevlar_tpu import simlike
     kid, mom, dad, refr = _homopolymer_sketches()
     calls = list(simlike.simlike(
         _homopolymer_prelim(), kid, [mom, dad], refr,
-        samplelabels=['Proband', 'Mother', 'Father']))
+        samplelabels=['Proband', 'Mother', 'Father'], caseabundgate=0))
     assert len(calls) == 6
     interesting = [c for c in calls if c.filterstr in ('PASS', 'Homopolymer')]
     assert len(interesting) == 3
