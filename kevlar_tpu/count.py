@@ -20,7 +20,8 @@ from kevlar_tpu.sketch import (
 
 
 def _consume_seqfile_prefetch(sketch, seqfiles, mask, consume_masked,
-                              threshold, batch_size, wing, stack_depth=8):
+                              threshold, batch_size, wing, stack_depth=8,
+                              numbands=None, band=None):
     """Threaded producer/consumer consume: parse + 2-bit pack + H2D run
     one stack ahead of the device consume chain, so host marshalling and
     transfer hide behind device scatter time (the wall becomes
@@ -99,6 +100,7 @@ def _consume_seqfile_prefetch(sketch, seqfiles, mask, consume_masked,
         sketch.tables = sketch_ops.consume_batch_stack_packed(
             sketch.tables, packed, badmask, L=L,
             ksize=sketch.ksize(), maxcount=sketch.maxcount,
+            numbands=numbands, band=band,
             counter_bits=sketch.counter_bits,
             tablesize=sketch.tablesize,
             mask_tables=mask_tables, has_mask=mask is not None,
@@ -148,7 +150,7 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
                                and mask.backend == 'device')
     packed_wire = (getattr(sketch, 'backend', 'device') == 'device'
                    and hasattr(sketch, 'consume_batch_stack')
-                   and mask_ok and not numbands
+                   and mask_ok
                    and os.environ.get('KEVLAR_PACKED_WIRE', '1') != '0')
     if packed_wire and os.environ.get('KEVLAR_PREFETCH', '1') != '0':
         # overlapped pipeline: a producer thread parses, packs, and ships
@@ -158,7 +160,7 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
         done = _consume_seqfile_prefetch(
             sketch, seqfiles, mask=mask, consume_masked=consume_masked,
             threshold=threshold, batch_size=batch_size, wing=wing,
-            stack_depth=stack_depth)
+            stack_depth=stack_depth, numbands=numbands, band=band)
         if done is not None:
             return done
     # KEVLAR_COUNT_TIMING=1: decompose the stage wall into host parse/
@@ -181,7 +183,7 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
             mask_ok = mask is None or (isinstance(mask, Sketch)
                                        and mask.backend == 'device')
             if getattr(sketch, 'backend', 'device') == 'device' \
-                    and mask_ok and not numbands \
+                    and mask_ok \
                     and os.environ.get('KEVLAR_PACKED_WIRE', '1') != '0':
                 # 2-bit wire format: 3.7x less host->device traffic
                 # (default on; TPU-validated bit-identical — set
@@ -193,6 +195,7 @@ def consume_seqfile(sketch, seqfiles, mask=None, consume_masked=False,
                 sketch.tables = sketch_ops.consume_batch_stack_packed(
                     sketch.tables, packed, badmask, L=stacked.shape[-1],
                     ksize=sketch.ksize(), maxcount=sketch.maxcount,
+                    numbands=numbands, band=band,
                     counter_bits=sketch.counter_bits,
                     tablesize=sketch.tablesize,
                     mask_tables=_device_mask_tables(mask),

@@ -39,8 +39,7 @@ def _sample_counts(case_tables, ctrl_tables, packed, h1, h2):
 
 @functools.partial(
     jax.jit,
-    static_argnames=('ksize', 'casemin', 'ctrlmax', 'screen', 'numbands',
-                     'band'))
+    static_argnames=('ksize', 'casemin', 'ctrlmax', 'screen', 'numbands'))
 def novel_screen(case_tables, ctrl_tables, bases, lengths, ksize, casemin,
                  ctrlmax, screen=None, numbands=None, band=None, packed=None):
     """Screen a read batch for novel (interesting) k-mers.
@@ -108,8 +107,7 @@ def novel_screen(case_tables, ctrl_tables, bases, lengths, ksize, casemin,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('ksize', 'casemin', 'ctrlmax', 'screen', 'numbands',
-                     'band', 'max_hits'))
+    static_argnames=('ksize', 'casemin', 'ctrlmax', 'screen', 'numbands', 'max_hits'))
 def novel_screen_compact(case_tables, ctrl_tables, bases, lengths, ksize,
                          casemin, ctrlmax, screen=None, numbands=None,
                          band=None, max_hits=32768, packed=None):
@@ -142,8 +140,7 @@ def novel_screen_compact(case_tables, ctrl_tables, bases, lengths, ksize,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('ksize', 'casemin', 'ctrlmax', 'screen', 'numbands',
-                     'band', 'max_hits'))
+    static_argnames=('ksize', 'casemin', 'ctrlmax', 'screen', 'numbands', 'max_hits'))
 def novel_screen_compact_stack(case_tables, ctrl_tables, bases_stack,
                                lengths_stack, ksize, casemin, ctrlmax,
                                screen=None, numbands=None, band=None,
@@ -230,8 +227,7 @@ def count_and_screen_stack_packed(case_packed, case_bad, ctrl_packed,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('ksize', 'casemin', 'ctrlmax', 'screen', 'numbands',
-                     'band', 'max_hits', 'L'))
+    static_argnames=('ksize', 'casemin', 'ctrlmax', 'screen', 'numbands', 'max_hits', 'L'))
 def novel_screen_compact_stack_packed(case_tables, ctrl_tables, packed_stack,
                                       badmask_stack, lengths_stack, L, ksize,
                                       casemin, ctrlmax, screen=None,

@@ -293,7 +293,7 @@ def _consume_hashes(tables, h1, h2, valid, maxcount, counter_bits=8,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('ksize', 'maxcount', 'numbands', 'band', 'mask_threshold',
+    static_argnames=('ksize', 'maxcount', 'numbands', 'mask_threshold',
                      'consume_masked', 'has_mask', 'counter_bits', 'tablesize',
                      'mask_bits', 'mask_tablesize'),
     donate_argnames=('tables',))
@@ -324,7 +324,7 @@ def consume_batch(tables, bases, ksize, maxcount, numbands=None, band=None,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('ksize', 'maxcount', 'numbands', 'band',
+    static_argnames=('ksize', 'maxcount', 'numbands',
                      'mask_threshold', 'consume_masked', 'has_mask',
                      'counter_bits', 'tablesize', 'mask_bits',
                      'mask_tablesize'),
@@ -370,7 +370,7 @@ def consume_batch_stack(tables, bases_stack, ksize, maxcount, numbands=None,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('ksize', 'maxcount', 'L', 'numbands', 'band',
+    static_argnames=('ksize', 'maxcount', 'L', 'numbands',
                      'mask_threshold', 'consume_masked', 'has_mask',
                      'counter_bits', 'tablesize', 'mask_bits',
                      'mask_tablesize'),
