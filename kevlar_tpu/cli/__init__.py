@@ -266,11 +266,11 @@ def _simlike_subparser(subparsers):
     sp.add_argument('--ctrl-abund-high', metavar='H', type=int, default=4)
     sp.add_argument('--case-abund-low', metavar='L', type=int, default=5)
     sp.add_argument('--case-abund-gate', metavar='G', type=float,
-                    default=150.0,
+                    default=300.0,
                     help='rescind sole CaseAbundance/Homopolymer filters '
                          'when LIKESCORE exceeds G (the likelihood verdict '
                          'overrides the heuristics); 0 restores '
-                         'reference semantics [150.0]')
+                         'reference semantics [300.0]')
     sp.add_argument('--shared-kmer-min', metavar='S', type=int,
                     default=None,
                     help='mask ALT-window k-mers with abundance >= S in '

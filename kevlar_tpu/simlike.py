@@ -471,7 +471,7 @@ def _rank_partition(partitionid, calls, ambigthresh=10):
 def simlike(variants, case, controls, refr, mu=30.0, sigma=8.0, epsilon=0.001,
             casemin=6, ctrlmax=1, caseabundlow=5, ctrlabundhigh=4,
             samplelabels=None, fastmode=False, minlikescore=0.0,
-            dropoutliers=False, ambigthresh=10, caseabundgate=150.0,
+            dropoutliers=False, ambigthresh=10, caseabundgate=300.0,
             sharedkmermin=None):
     if sharedkmermin is None:
         sharedkmermin = casemin  # family-background bar: solidly present
@@ -612,6 +612,6 @@ def main(args):
             ctrlabundhigh=args.ctrl_abund_high, samplelabels=labels,
             fastmode=args.fast_mode, minlikescore=args.min_like_score,
             dropoutliers=args.drop_outliers, ambigthresh=args.ambig_thresh,
-            caseabundgate=getattr(args, 'case_abund_gate', 150.0),
+            caseabundgate=getattr(args, 'case_abund_gate', 300.0),
             sharedkmermin=getattr(args, 'shared_kmer_min', None)):
         writer.write(call)
