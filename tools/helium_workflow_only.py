@@ -43,6 +43,19 @@ def main():
         'threads': 1,
     }
     from kevlar_tpu import workflow
+    # Untimed transport setup (same block sim_trio_bench.py runs): the
+    # remote tunnel absorbs per-process connection/first-dispatch setup of
+    # 45-75 s (measured) at the first REAL dispatch — a tiny jnp.zeros
+    # ping is too small to trigger it, so run one scatter+readback of a
+    # realistic size.  On directly-attached hardware this is negligible.
+    t_ping = time.time()
+    import jax.numpy as jnp
+    _x = jnp.zeros(16 * 1024 * 1024, jnp.int32)
+    _x = _x.at[jnp.arange(4096) * 997].add(1)
+    _ = int(_x[0])
+    del _x
+    print('# device first-dispatch setup absorbed in {:.1f}s (untimed '
+          'transport setup)'.format(time.time() - t_ping), file=sys.stderr)
     t0 = time.time()
     final = workflow.run_mark1(config)
     wall = round(time.time() - t0, 1)
