@@ -292,7 +292,13 @@ def main():
     t_ping = time.time()
     import jax
     import jax.numpy as jnp
-    jnp.zeros(8).block_until_ready()
+    # one realistic scatter+readback: a tiny ping is too small to trigger
+    # the per-process first-dispatch setup (45-75 s measured), which would
+    # otherwise land inside the first timed stage
+    _x = jnp.zeros(16 * 1024 * 1024, jnp.int32)
+    _x = _x.at[jnp.arange(4096) * 997].add(1)
+    int(_x[0])
+    del _x
     print('# device connection established in {:.1f}s (untimed '
           'transport setup)'.format(time.time() - t_ping), file=sys.stderr)
 
